@@ -1,0 +1,231 @@
+"""Sampling loops as `lax.scan` bodies — fully jitted, batched.
+
+TPU-native re-design of the reference Python sampling loops
+(`scene_synthesis/networks/diffusion_ddpm.py:339-506`).  Where the reference
+runs 1000 sequential Python-level denoiser calls at batch size 1
+(generate_diffusion.py:294), these loops compile to a single XLA program: the
+timestep loop is a `lax.scan`, the batch dimension carries many scenes at
+once, and randomness is threaded via `jax.random` keys.
+
+``denoise_fn(x, t) -> model_output`` closes over network params and the
+per-scene conditioning; it must be jit-traceable.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .schedule import DiffusionSchedule, extract
+from .gaussian import p_mean_variance, model_predictions, q_sample
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def p_sample_step(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    model_var_type: str,
+    denoise_fn: DenoiseFn,
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    key: jax.Array,
+    clip_denoised: bool,
+) -> jnp.ndarray:
+    """One ancestral DDPM step.  (diffusion_ddpm.py:339-352)"""
+    model_output = denoise_fn(x, t)
+    model_mean, model_log_variance, _ = p_mean_variance(
+        sched, model_mean_type, model_var_type, model_output, x, t, clip_denoised
+    )
+    noise = jax.random.normal(key, x.shape, dtype=x.dtype)
+    nonzero_mask = (t > 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
+    return model_mean + nonzero_mask * jnp.exp(0.5 * model_log_variance) * noise
+
+
+def p_sample_loop(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    model_var_type: str,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Full T-step DDPM ancestral sampling as one scan.  (diffusion_ddpm.py:355-371)"""
+    key, init_key = jax.random.split(key)
+    x_T = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    def body(carry, t_scalar):
+        x, k = carry
+        k, sub = jax.random.split(k)
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x = p_sample_step(
+            sched, model_mean_type, model_var_type, denoise_fn, x, t, sub, clip_denoised
+        )
+        return (x, k), None
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+    (x_0, _), _ = jax.lax.scan(body, (x_T, key), ts)
+    return x_0
+
+
+def p_sample_loop_trajectory(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    model_var_type: str,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    freq: int,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """DDPM sampling that also returns intermediate frames every ``freq`` steps.
+
+    Mirrors reference p_sample_loop_trajectory (diffusion_ddpm.py:373-398):
+    the returned array stacks [x_T] + [x_t for t where t % freq == 0], i.e.
+    shape (1 + T//freq, *shape) for T divisible by freq.
+
+    Implemented as a two-level scan (outer over frames, inner over ``freq``
+    steps) so only the emitted frames are materialized.
+    """
+    T = sched.num_timesteps
+    assert T % freq == 0, "freq must divide num_timesteps for the fused trajectory scan"
+    n_frames = T // freq
+
+    key, init_key = jax.random.split(key)
+    x_T = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    def inner(carry, t_scalar):
+        x, k = carry
+        k, sub = jax.random.split(k)
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        x = p_sample_step(
+            sched, model_mean_type, model_var_type, denoise_fn, x, t, sub, clip_denoised
+        )
+        return (x, k), None
+
+    def outer(carry, frame_idx):
+        x, k = carry
+        # timesteps for this frame chunk: from T-1-frame*freq down, `freq` of them
+        t_start = T - 1 - frame_idx * freq
+        ts = t_start - jnp.arange(freq, dtype=jnp.int32)
+        (x, k), _ = jax.lax.scan(inner, (x, k), ts)
+        return (x, k), x
+
+    (_, _), frames = jax.lax.scan(outer, (x_T, key), jnp.arange(n_frames, dtype=jnp.int32))
+    return jnp.concatenate([x_T[None], frames], axis=0)
+
+
+def ddim_sample_loop(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    sampling_timesteps: int = 50,
+    eta: float = 0.0,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """DDIM sampling over a strided timestep subsequence, as one scan.
+
+    A corrected, functional version of reference ``ddim_sample_loop``
+    (diffusion_ddpm.py:401-444 — which has latent bugs and is never called by
+    the shipped scripts).  Uses the same time spacing:
+    times = linspace(-1, T-1, steps+1), walked in reverse pairs.
+    """
+    import numpy as np
+
+    T = sched.num_timesteps
+    times = np.linspace(-1, T - 1, num=sampling_timesteps + 1).astype(np.int32)
+    times = list(reversed(times.tolist()))
+    time_pairs = np.array(list(zip(times[:-1], times[1:])), dtype=np.int32)  # (S, 2)
+
+    key, init_key = jax.random.split(key)
+    x_T = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    # append a 1.0 so that alphas_cumprod[-1] lookups for time_next == -1
+    # yield alpha_next = 1 (x = x_start exactly at the last step).
+    acp = jnp.concatenate([sched.alphas_cumprod, jnp.ones((1,), sched.alphas_cumprod.dtype)])
+
+    def body(carry, pair):
+        x, k = carry
+        time, time_next = pair[0], pair[1]
+        k, sub = jax.random.split(k)
+        t = jnp.full((shape[0],), time, dtype=jnp.int32)
+        model_output = denoise_fn(x, t)
+        pred_noise, x_start = model_predictions(
+            sched, model_mean_type, model_output, x, t, clip_x_start=clip_denoised
+        )
+        alpha = acp[time]
+        alpha_next = acp[time_next]  # == 1.0 when time_next == -1
+        sigma = eta * jnp.sqrt((1 - alpha / alpha_next) * (1 - alpha_next) / (1 - alpha))
+        c = jnp.sqrt(jnp.clip(1 - alpha_next - sigma**2, 0.0, None))
+        noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+        x_new = x_start * jnp.sqrt(alpha_next) + c * pred_noise + sigma * noise
+        # at the final step (time_next < 0) the sample is exactly x_start
+        x_new = jnp.where(time_next < 0, x_start, x_new)
+        return (x_new, k), None
+
+    (x_0, _), _ = jax.lax.scan(body, (x_T, key), jnp.asarray(time_pairs))
+    return x_0
+
+
+def p_sample_loop_complete(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    model_var_type: str,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    partial_boxes: jnp.ndarray,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """RePaint-style scene completion.  (diffusion_ddpm.py:447-476)
+
+    At every step the first ``num_partial`` slots are overwritten with a
+    freshly q-sampled noisy version of the clean partial boxes before the
+    reverse step; after the final step the clean partials are spliced in.
+    """
+    num_partial = partial_boxes.shape[1]
+    key, init_key = jax.random.split(key)
+    x_T = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    def body(carry, t_scalar):
+        x, k = carry
+        k, k_noise, k_step = jax.random.split(k, 3)
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        noise = jax.random.normal(k_noise, partial_boxes.shape, dtype=x.dtype)
+        partial_t = q_sample(sched, partial_boxes, t, noise)
+        x = jnp.concatenate([partial_t, x[:, num_partial:, :]], axis=1)
+        x = p_sample_step(
+            sched, model_mean_type, model_var_type, denoise_fn, x, t, k_step, clip_denoised
+        )
+        return (x, k), None
+
+    ts = jnp.arange(sched.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+    (x_0, _), _ = jax.lax.scan(body, (x_T, key), ts)
+    return jnp.concatenate([partial_boxes, x_0[:, num_partial:, :]], axis=1)
+
+
+def p_sample_loop_arrange(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    model_var_type: str,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    translation_dim: int,
+    angle_dim: int,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """Re-arrangement sampling: diffuse only (translation, angle) channels.
+
+    (diffusion_ddpm.py:478-506).  ``shape`` is the full (B, N, point_dim)
+    scene shape; the returned array is (B, N, translation_dim + angle_dim).
+    The caller splices translations/angles back into the conditioning boxes.
+    """
+    sub_shape = (shape[0], shape[1], translation_dim + angle_dim)
+    return p_sample_loop(
+        sched, model_mean_type, model_var_type, denoise_fn, sub_shape, key, clip_denoised
+    )

@@ -1,0 +1,449 @@
+"""Unet1D denoiser over object sets — Flax/linen, (B, N, C) layout.
+
+TPU-native re-design of the reference denoiser
+(`scene_synthesis/networks/denoise_net.py:335-593`).  Key observations driving
+the design:
+
+- every conv in the reference has kernel size 1 (denoise_net.py:397,440,459),
+  so the network is a per-object MLP stack + set attention; on TPU the natural
+  layout is (batch, objects, channels) with `nn.Dense` everywhere — each layer
+  is one large (B*N, C_in)x(C_in, C_out) matmul on the MXU.
+- `Downsample`/`Upsample` are identity for the shipped `dim_mults=[1,1,1,1]`
+  (denoise_net.py:55-76), so "resolution" never changes; we keep the level
+  structure for architectural parity.
+- attention operates over N <= 21 object slots (self) and ~50 text tokens
+  (cross); both comfortably fit in VMEM, so the einsum formulations below fuse
+  into a handful of MXU ops under XLA.
+
+Architectural semantics (block structure, weight standardization, group norm,
+linear-attention math, time embedding) match the reference so that pretrained
+checkpoints are convertible; see `train/convert.py`.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class WSDense(nn.Module):
+    """Dense layer with weight standardization over the input axis.
+
+    Equivalent of the reference WeightStandardizedConv2d (actually a k=1
+    Conv1d, denoise_net.py:78-91): per-output-unit mean/var (biased) over the
+    input dimension, eps 1e-5 in float32.
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+            jnp.float32,
+        )
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        mean = jnp.mean(kernel, axis=0, keepdims=True)
+        var = jnp.var(kernel, axis=0, keepdims=True)
+        w = (kernel - mean) * jax.lax.rsqrt(var + eps)
+        y = jnp.einsum("...i,io->...o", x.astype(w.dtype), w)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias
+        return y
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis, scale-only, biased variance.
+
+    Equivalent of reference LayerNorm (denoise_net.py:93-102).
+    """
+
+    @nn.compact
+    def __call__(self, x):
+        g = self.param("g", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.var(x, axis=-1, keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + eps) * g
+
+
+def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (denoise_net.py:127-139). t: (B,) -> (B, dim)."""
+    half_dim = dim // 2
+    emb = math.log(10000.0) / (half_dim - 1)
+    freqs = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """(denoise_net.py:141-156) — learned/random Fourier features + raw t."""
+
+    dim: int
+    is_random: bool = False
+
+    @nn.compact
+    def __call__(self, t):
+        half_dim = self.dim // 2
+        weights = self.param("weights", nn.initializers.normal(1.0), (half_dim,), jnp.float32)
+        if self.is_random:
+            weights = jax.lax.stop_gradient(weights)
+        t = t.astype(jnp.float32)[:, None]
+        freqs = t * weights[None, :] * 2 * math.pi
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
+class Block(nn.Module):
+    """WSDense -> GroupNorm -> (scale,shift) -> SiLU.  (denoise_net.py:160-176)"""
+
+    dim_out: int
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
+        x = WSDense(self.dim_out, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            x = x * (scale + 1.0) + shift
+        return nn.silu(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two Blocks with FiLM modulation from a conditioning vector.
+
+    (denoise_net.py:178-206).  ``emb`` may be (B, C) (time embedding,
+    broadcast over objects) or (B, N, C) (per-object condition).
+    """
+
+    dim_out: int
+    emb_dim: int = 0
+    groups: int = 8
+
+    @nn.compact
+    def __call__(self, x, emb: Optional[jnp.ndarray] = None):
+        scale_shift = None
+        if self.emb_dim > 0 and emb is not None:
+            h = nn.Dense(self.dim_out * 2, name="mlp")(nn.silu(emb))
+            if h.ndim == 2:
+                h = h[:, None, :]  # (B, 1, 2C) broadcast over objects
+            scale_shift = (h[..., : self.dim_out], h[..., self.dim_out :])
+        h = Block(self.dim_out, groups=self.groups, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, groups=self.groups, name="block2")(h)
+        if x.shape[-1] != self.dim_out:
+            x = nn.Dense(self.dim_out, name="res_conv")(x)
+        return h + x
+
+
+class LinearAttention(nn.Module):
+    """Efficient 'linear' self-attention (denoise_net.py:208-235).
+
+    q softmaxed over the head-feature axis, k over the sequence axis; the
+    (d x e) context matrix contracts away the sequence dim.  For N <= 21 this
+    is a pair of tiny MXU matmuls per head.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda a: a.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+        q, k, v = split(q), split(k), split(v)  # (B, H, D, N)
+
+        q = jax.nn.softmax(q, axis=-2)  # over feature dim d
+        k = jax.nn.softmax(k, axis=-1)  # over sequence dim n
+        q = q * (self.dim_head**-0.5)
+
+        context = jnp.einsum("bhdn,bhen->bhde", k, v)
+        out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, E, N)
+        out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+        out = nn.Dense(C, name="to_out")(out)
+        return ChannelLayerNorm(name="out_norm")(out)
+
+
+class Attention(nn.Module):
+    """Full softmax self-attention (denoise_net.py:237-259)."""
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        split = lambda a: a.reshape(B, N, self.heads, self.dim_head)
+        q, k, v = split(q), split(k), split(v)  # (B, N, H, D)
+        q = q * (self.dim_head**-0.5)
+        sim = jnp.einsum("bihd,bjhd->bhij", q, k)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, hidden)
+        return nn.Dense(C, name="to_out")(out)
+
+
+class LinearAttentionCross(nn.Module):
+    """Linear cross-attention from object slots to text tokens.
+
+    (denoise_net.py:261-297).  q from x (B, N, C); k, v from context
+    (B, L, C_ctx).
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, N, C = x.shape
+        L = context.shape[1]
+        hidden = self.heads * self.dim_head
+        q = nn.Dense(hidden, use_bias=False, name="to_q")(x)
+        kv = nn.Dense(hidden * 2, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)  # (B,H,D,N)
+        k = k.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)  # (B,H,D,L)
+        v = v.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+
+        q = jax.nn.softmax(q, axis=-2)
+        k = jax.nn.softmax(k, axis=-1)
+        q = q * (self.dim_head**-0.5)
+
+        context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
+        out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
+        out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+        out = nn.Dense(C, name="to_out")(out)
+        return ChannelLayerNorm(name="out_norm")(out)
+
+
+class AttentionCross(nn.Module):
+    """Cross-attention variant without the output LayerNorm.
+
+    Note the reference ``AttentionCross`` (denoise_net.py:299-332) uses the
+    same softmax-q/softmax-k *linear* attention math despite its name; we
+    preserve that.
+    """
+
+    heads: int = 4
+    dim_head: int = 32
+
+    @nn.compact
+    def __call__(self, x, context):
+        B, N, C = x.shape
+        L = context.shape[1]
+        hidden = self.heads * self.dim_head
+        q = nn.Dense(hidden, use_bias=False, name="to_q")(x)
+        kv = nn.Dense(hidden * 2, use_bias=False, name="to_kv")(context)
+        k, v = jnp.split(kv, 2, axis=-1)
+        q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+        k = k.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+        v = v.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+        q = jax.nn.softmax(q, axis=-2)
+        k = jax.nn.softmax(k, axis=-1)
+        q = q * (self.dim_head**-0.5)
+        context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
+        out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
+        out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+        return nn.Dense(C, name="to_out")(out)
+
+
+class _MLPEnc(nn.Module):
+    """Per-attribute encoder MLP (denoise_net.py:484-493): C_in -> d -> 2d -> d."""
+
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.gelu(nn.Dense(self.hidden, name="fc0")(x), approximate=False)
+        x = nn.gelu(nn.Dense(self.hidden * 2, name="fc1")(x), approximate=False)
+        return nn.Dense(self.hidden, name="fc2")(x)
+
+
+class _MLPDec(nn.Module):
+    """Per-attribute decoder MLP (denoise_net.py:495-504): d -> 2d -> d -> C_out."""
+
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.gelu(nn.Dense(self.hidden * 2, name="fc0")(x), approximate=False)
+        x = nn.gelu(nn.Dense(self.hidden, name="fc1")(x), approximate=False)
+        return nn.Dense(self.out, name="fc2")(x)
+
+
+class Unet1D(nn.Module):
+    """Permutation-equivariant set denoiser.
+
+    Structure mirrors reference Unet1D (denoise_net.py:335-593): per-attribute
+    encoder MLPs summed into a joint feature (``seperate_all``), an init
+    projection, `len(dim_mults)` levels of [cond-ResBlock, time-ResBlock,
+    (cross-attn), time-ResBlock, linear-self-attn, level-proj], a middle stack
+    with full attention, the mirrored up path with skip concatenations, a
+    final residual block on [x, r], and per-attribute decoder MLPs.
+    """
+
+    dim: int = 512
+    dim_mults: Sequence[int] = (1, 1, 1, 1)
+    channels: int = 62
+    objectness_dim: int = 0
+    class_dim: int = 22
+    translation_dim: int = 3
+    size_dim: int = 3
+    angle_dim: int = 2
+    objfeat_dim: int = 32
+    context_dim: int = 0
+    instanclass_dim: int = 128
+    seperate_all: bool = True
+    text_condition: bool = False
+    text_dim: int = 512
+    resnet_block_groups: int = 8
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
+    out_dim: Optional[int] = None
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @property
+    def bbox_dim(self):
+        return self.translation_dim + self.size_dim + self.angle_dim
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (B, N, point_dim)
+        beta: jnp.ndarray,  # (B,) timesteps
+        context: Optional[jnp.ndarray] = None,  # (B, N, context_dim + instanclass_dim)
+        context_cross: Optional[jnp.ndarray] = None,  # (B, L, text_dim)
+    ) -> jnp.ndarray:
+        B, N, C_in = x.shape
+        cond_dim = self.context_dim + self.instanclass_dim
+        groups = self.resnet_block_groups
+
+        x = x.astype(self.compute_dtype)
+        if context is not None:
+            context = context.astype(self.compute_dtype)
+        if context_cross is not None:
+            context_cross = context_cross.astype(self.compute_dtype)
+
+        # --- per-attribute encoders (denoise_net.py:512-525) ---
+        if self.seperate_all:
+            bd = self.bbox_dim
+            x_bbox = _MLPEnc(self.dim, name="bbox_embedf")(x[..., :bd])
+            x_class = _MLPEnc(self.dim, name="class_embedf")(
+                x[..., bd : bd + self.class_dim]
+            )
+            h_sum = x_bbox + x_class
+            ofs = bd + self.class_dim
+            if self.objectness_dim > 0:
+                h_sum = h_sum + _MLPEnc(self.dim, name="objectness_embedf")(
+                    x[..., ofs : ofs + self.objectness_dim]
+                )
+                ofs += self.objectness_dim
+            if self.objfeat_dim > 0:
+                h_sum = h_sum + _MLPEnc(self.dim, name="objfeat_embedf")(
+                    x[..., ofs : ofs + self.objfeat_dim]
+                )
+            x = h_sum
+
+        x = nn.Dense(self.dim, name="init_conv")(x)
+        r = x
+
+        # --- time embedding (denoise_net.py:404-422) ---
+        time_dim = self.dim * 4
+        if self.learned_sinusoidal_cond or self.random_fourier_features:
+            t_emb = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim, self.random_fourier_features, name="sinu_pos_emb"
+            )(beta)
+        else:
+            t_emb = sinusoidal_pos_emb(beta, self.dim)
+        t_emb = nn.Dense(time_dim, name="time_mlp_1")(t_emb.astype(self.compute_dtype))
+        t_emb = nn.Dense(time_dim, name="time_mlp_2")(nn.gelu(t_emb, approximate=False))
+
+        n_levels = len(self.dim_mults)
+        dims = [self.dim * m for m in self.dim_mults]
+
+        skips = []
+        # --- down path ---
+        for i in range(n_levels):
+            dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
+            dim_out = self.dim * self.dim_mults[i]
+            is_last = i == n_levels - 1
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, name=f"down{i}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, name=f"down{i}_block1")(x, t_emb)
+            skips.append(x)
+            if self.text_condition:
+                a = LinearAttentionCross(name=f"down{i}_attncross")
+                x = x + a(ChannelLayerNorm(name=f"down{i}_attncross_norm")(x), context_cross)
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, name=f"down{i}_block2")(x, t_emb)
+            x = x + LinearAttention(name=f"down{i}_attn")(
+                ChannelLayerNorm(name=f"down{i}_attn_norm")(x)
+            )
+            skips.append(x)
+            if is_last:
+                x = nn.Dense(dim_out, name=f"down{i}_proj")(x)
+            # non-last levels: Downsample is identity (denoise_net.py:67-76)
+
+        mid_dim = dims[-1]
+        # --- middle (denoise_net.py:443-448) ---
+        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, name="mid_block0")(x, context)
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, name="mid_block1")(x, t_emb)
+        if self.text_condition:
+            a = LinearAttentionCross(name="mid_attncross")
+            x = x + a(ChannelLayerNorm(name="mid_attncross_norm")(x), context_cross)
+        x = x + Attention(name="mid_attn")(ChannelLayerNorm(name="mid_attn_norm")(x))
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, name="mid_block2")(x, t_emb)
+
+        # --- up path (denoise_net.py:450-470) ---
+        for j in range(n_levels):
+            i = n_levels - 1 - j  # reversed level index
+            dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
+            dim_out = self.dim * self.dim_mults[i]
+            is_last = j == n_levels - 1
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, name=f"up{j}_block0")(x, context)
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, name=f"up{j}_block1")(x, t_emb)
+            if self.text_condition:
+                a = LinearAttentionCross(name=f"up{j}_attncross")
+                x = x + a(ChannelLayerNorm(name=f"up{j}_attncross_norm")(x), context_cross)
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, name=f"up{j}_block2")(x, t_emb)
+            x = x + LinearAttention(name=f"up{j}_attn")(
+                ChannelLayerNorm(name=f"up{j}_attn_norm")(x)
+            )
+            if is_last:
+                x = nn.Dense(dim_in, name=f"up{j}_proj")(x)
+
+        # --- final (denoise_net.py:573-589) ---
+        x = jnp.concatenate([x, r], axis=-1)
+        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, name="final_res_block")(x, t_emb)
+
+        if self.seperate_all:
+            out_bbox = _MLPDec(self.dim, self.bbox_dim, name="bbox_hidden2output")(x)
+            out_class = _MLPDec(self.dim, self.class_dim, name="class_hidden2output")(x)
+            out = jnp.concatenate([out_bbox, out_class], axis=-1)
+            if self.objectness_dim > 0:
+                out = jnp.concatenate(
+                    [out, _MLPDec(self.dim, self.objectness_dim, name="objectness_hidden2output")(x)],
+                    axis=-1,
+                )
+            if self.objfeat_dim > 0:
+                out = jnp.concatenate(
+                    [out, _MLPDec(self.dim, self.objfeat_dim, name="objfeat_hidden2output")(x)],
+                    axis=-1,
+                )
+        else:
+            out_dim = self.out_dim if self.out_dim is not None else self.channels
+            out = nn.Dense(out_dim, name="final_conv")(x)
+        return out.astype(jnp.float32)

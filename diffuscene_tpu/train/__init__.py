@@ -1,0 +1,2 @@
+from .optim import lr_schedule_factory, optimizer_factory
+from .trainer import Trainer, TrainState

@@ -1,0 +1,113 @@
+"""Jitted training step + loop for the scene diffusion model.
+
+Replaces the reference per-batch Python train loop
+(`scripts/train_diffusion.py:221-255` + `diffusion_scene_layout_ddpm.py:456-482`)
+with a single donated, mesh-sharded XLA program: loss, backward, global-norm
+clip, optimizer update, and metric reduction all fuse under one jit.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..models.scene_model import SceneDiffusion
+from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from .optim import optimizer_factory, lr_schedule_factory
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)
+
+
+class Trainer:
+    """Owns the optimizer + jitted step functions for a SceneDiffusion model."""
+
+    def __init__(
+        self,
+        scene: SceneDiffusion,
+        training_cfg: Dict[str, Any],
+        mesh=None,
+        steps_per_epoch: int = 500,
+    ):
+        self.scene = scene
+        self.training_cfg = training_cfg
+        self.steps_per_epoch = steps_per_epoch
+        self.tx = optimizer_factory(training_cfg, steps_per_epoch)
+        self.lr_schedule = lr_schedule_factory(training_cfg)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        rep = replicated(self.mesh)
+        bsh = batch_sharding(self.mesh)
+
+        def _train_step(state: TrainState, batch, key):
+            key = jax.random.fold_in(key, state.step)
+
+            def loss_fn(params):
+                return self.scene.get_loss(params, batch, key)
+
+            (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            gnorm = global_norm(grads)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            metrics = dict(loss_dict)
+            metrics["loss"] = loss
+            metrics["gradnorm"] = gnorm
+            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            return new_state, metrics
+
+        def _eval_step(state: TrainState, batch, key):
+            loss, loss_dict = self.scene.get_loss(state.params, batch, key)
+            metrics = dict(loss_dict)
+            metrics["loss"] = loss
+            return metrics
+
+        self._train_step = jax.jit(
+            _train_step,
+            in_shardings=(rep, bsh, rep),
+            out_shardings=(rep, rep),
+            donate_argnums=(0,),
+        )
+        self._eval_step = jax.jit(_eval_step, in_shardings=(rep, bsh, rep))
+        self._bsh = bsh
+        self._rep = rep
+
+    # ------------------------------------------------------------------
+    def init_state(self, key: jax.Array, batch_size: int = 2) -> TrainState:
+        params = self.scene.init(key, batch_size)
+        params = jax.device_put(params, self._rep)
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+
+    def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+        device_keys = {
+            "translations", "sizes", "angles", "class_labels", "objectness",
+            "objfeats", "objfeats_32", "room_feat", "text_emb", "room_layout",
+        }
+        out = {}
+        for k, v in batch.items():
+            if k in device_keys:
+                out[k] = jax.device_put(np.asarray(v, np.float32), self._bsh)
+        return out
+
+    def train_step(self, state: TrainState, batch, key) -> Tuple[TrainState, Dict]:
+        return self._train_step(state, batch, key)
+
+    def eval_step(self, state: TrainState, batch, key) -> Dict:
+        return self._eval_step(state, batch, key)
+
+    def current_lr(self, step: int) -> float:
+        return float(self.lr_schedule(step // max(self.steps_per_epoch, 1)))
