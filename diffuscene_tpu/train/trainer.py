@@ -99,7 +99,9 @@ class Trainer:
         }
         out = {}
         for k, v in batch.items():
-            if k in device_keys:
+            if k == "desc_emb":  # data-pipeline name for precomputed text embeddings
+                out["text_emb"] = jax.device_put(np.asarray(v, np.float32), self._bsh)
+            elif k in device_keys:
                 out[k] = jax.device_put(np.asarray(v, np.float32), self._bsh)
         return out
 

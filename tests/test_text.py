@@ -1,0 +1,119 @@
+"""Text pipeline tests: relation classifier golden values, sentence
+generation, embedding shapes, and a text-conditioned train step."""
+import jax
+import numpy as np
+
+from diffuscene_tpu.data.text import (
+    TextDescriptionGenerator,
+    compute_rel,
+    extract_relations,
+    generate_sentences,
+    get_article,
+    num2words,
+    word_tokenize,
+)
+
+
+def _box(cx, cy, cz, sx, sy, sz):
+    return [cx - sx, cy - sy, cz - sz, cx + sx, cy + sy, cz + sz]
+
+
+def test_compute_rel_golden():
+    # object directly above another, footprint contained -> "above"
+    assert compute_rel(_box(0, 2, 0, 0.2, 0.2, 0.2), _box(0, 0.2, 0, 1, 0.2, 1))[0] == "above"
+    # resting on top (gap < 0.05) -> "on"
+    assert compute_rel(_box(0, 0.42, 0, 1, 0.2, 1), _box(0, 0.0, 0, 2, 0.2, 2))[0] == "on"
+    # to the +x side (theta ~ 0 from d=center1-center2) -> "right of"
+    rel, dist = compute_rel(_box(2, 0, 0, 0.3, 0.3, 0.3), _box(0, 0, 0, 0.3, 0.3, 0.3))
+    assert rel == "right of" and abs(dist - 2.0) < 1e-6
+    # -x side -> "left of"
+    assert compute_rel(_box(-2, 0, 0, 0.3, 0.3, 0.3), _box(0, 0, 0, 0.3, 0.3, 0.3))[0] == "left of"
+    # +z side (x offset so the center is outside the other's x-range —
+    # otherwise the reference's footprint early-return yields None) -> "in front of"
+    assert compute_rel(_box(0.5, 0, 2, 0.1, 0.3, 0.3), _box(0, 0, 0, 0.3, 0.3, 0.3))[0] == "in front of"
+    # -z side -> "behind"
+    assert compute_rel(_box(0.5, 0, -2, 0.1, 0.3, 0.3), _box(0, 0, 0, 0.3, 0.3, 0.3))[0] == "behind"
+    # straight ahead with x inside the other's x-range: reference returns None
+    assert compute_rel(_box(0, 0, 2, 0.3, 0.3, 0.3), _box(0, 0, 0, 0.3, 0.3, 0.3))[0] is None
+    # strictly containing footprint -> "surrounding" (outer center outside inner x-range)
+    assert compute_rel(_box(0, 0, 0, 3, 0.3, 3), _box(1.0, 0, 0, 0.2, 0.3, 0.2))[0] == "surrounding"
+    # vertical separation > 0.5 with footprint NOT contained -> None
+    assert compute_rel(_box(2, 3, 0, 0.2, 0.2, 0.2), _box(0, 0, 0, 0.3, 0.3, 0.3))[0] is None
+
+
+def test_helpers():
+    assert num2words(2) == "two" and num2words(2, ordinal=True) == "second"
+    assert get_article("armchair") == "an" and get_article("bed") == "a"
+    toks = word_tokenize("The room has a bed , and two chairs .")
+    assert toks == ["The", "room", "has", "a", "bed", ",", "and", "two", "chairs", "."]
+
+
+def test_generate_sentences_eval_deterministic():
+    rng = np.random.default_rng(0)
+    names = ["double bed", "nightstand", "nightstand", "wardrobe"]
+    trans = np.array([[0, 0, 0], [1.1, 0, 0], [-1.1, 0, 0], [0, 0, 1.4]], np.float32)
+    sizes = np.array([[1, 0.3, 1], [0.3, 0.3, 0.3], [0.3, 0.3, 0.3], [0.4, 1, 0.4]], np.float32)
+    rels = extract_relations(trans, sizes)
+    assert len(rels) > 0
+    s1 = generate_sentences(names, rels, rng, eval_mode=True)
+    s2 = generate_sentences(names, rels, np.random.default_rng(7), eval_mode=True)
+    assert s1 == s2  # eval mode is rng-independent
+    assert s1[0].startswith("The room has ")
+    assert "two nightstands" in s1[0]
+
+
+def test_text_generator_full_sample():
+    gen = TextDescriptionGenerator(
+        ["double_bed", "nightstand", "wardrobe", "start", "end"], eval=True,
+        max_token_length=50,
+    )
+    sample = {
+        "class_labels": np.eye(5, dtype=np.float32)[[0, 1, 1]],
+        "translations": np.array([[0, 0, 0], [1.1, 0, 0], [-1.1, 0, 0]], np.float32),
+        "sizes": np.array([[1, 0.3, 1], [0.3, 0.3, 0.3], [0.3, 0.3, 0.3]], np.float32),
+        "angles": np.zeros((3, 1), np.float32),
+    }
+    out = gen(sample, np.random.default_rng(0))
+    assert isinstance(out["description"], str) and "bed" in out["description"]
+    assert out["desc_emb"].shape == (50, 50)
+    assert out["desc_emb"].dtype == np.float32
+    # pad embedding rows are zero
+    n_tok = len(word_tokenize(out["description"]))
+    assert np.all(out["desc_emb"][n_tok:] == 0)
+
+
+def test_text_conditioned_train_step():
+    from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
+    from diffuscene_tpu.train import Trainer
+
+    net_kwargs = dict(
+        dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0,
+        class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
+        instanclass_dim=16, seperate_all=True, text_condition=True, text_dim=64,
+    )
+    cfg = SceneModelConfig(
+        point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
+        objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
+        instance_condition=True, learnable_embedding=True, instance_emb_dim=16,
+        text_condition=True, text_glove_embedding=True, text_embed_dim=64,
+        model_mean_type="v", loss_separate=True, loss_iou=False, time_num=10,
+        net_kwargs=tuple(sorted(net_kwargs.items())),
+    )
+    scene = SceneDiffusion(cfg)
+    trainer = Trainer(scene, {"optimizer": "Adam", "lr": 1e-4, "schedule": "step",
+                              "lr_step": 1000, "lr_decay": 0.5, "max_grad_norm": 10.0})
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = 8  # divisible by the 8-device test mesh
+    batch = {
+        "translations": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+        "sizes": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+        "angles": rng.uniform(-1, 1, (B, 12, 2)).astype(np.float32),
+        "class_labels": (rng.integers(0, 2, (B, 12, 22)) * 2 - 1).astype(np.float32),
+        "objfeats_32": rng.normal(0, 1, (B, 12, 32)).astype(np.float32),
+        "desc_emb": rng.normal(0, 1, (B, 50, 50)).astype(np.float32),
+    }
+    batch = trainer.put_batch(batch)
+    assert "text_emb" in batch
+    state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
