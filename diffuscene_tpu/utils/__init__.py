@@ -1,0 +1,10 @@
+from .checkpoint import (
+    latest_epoch,
+    load_bounds,
+    load_checkpoint,
+    save_bounds,
+    save_checkpoint,
+)
+from .config import load_config, save_experiment_params, yield_forever
+from .convert import convert_denoiser, convert_scene_model, load_torch_checkpoint
+from .stats_logger import AverageAggregator, StatsLogger, WandB

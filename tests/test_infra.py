@@ -1,0 +1,86 @@
+"""Infra tests: orbax checkpoint round-trip with model_{epoch} discovery,
+bounds persistence, stats logger aggregation, config loading."""
+import io
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from diffuscene_tpu.utils import (
+    AverageAggregator,
+    StatsLogger,
+    latest_epoch,
+    load_bounds,
+    load_checkpoint,
+    load_config,
+    save_bounds,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    exp = str(tmp_path / "exp")
+    state = {
+        "step": jnp.asarray(7, jnp.int32),
+        "params": {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3)},
+    }
+    assert latest_epoch(exp) is None
+    save_checkpoint(state, exp, 10)
+    save_checkpoint(jax.tree.map(lambda x: x + 1, state), exp, 250)
+    assert latest_epoch(exp) == 250
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored, epoch = load_checkpoint(template, exp)
+    assert epoch == 250
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6, dtype=np.float32).reshape(2, 3) + 1)
+    # explicit epoch
+    restored10, epoch10 = load_checkpoint(template, exp, epoch=10)
+    assert epoch10 == 10
+    assert int(restored10["step"]) == 7
+    # missing dir -> template passthrough
+    same, none = load_checkpoint(template, str(tmp_path / "nope"))
+    assert none is None
+
+
+def test_bounds_roundtrip(tmp_path):
+    exp = str(tmp_path / "exp2")
+    bounds = {"translations_min": np.array([-3, 0, -3], np.float32),
+              "translations_max": np.array([3, 4, 3], np.float32)}
+    save_bounds(exp, bounds)
+    got = load_bounds(exp)
+    np.testing.assert_array_equal(got["translations_min"], bounds["translations_min"])
+    assert load_bounds(str(tmp_path / "nope")) is None
+
+
+def test_stats_logger():
+    StatsLogger.reset_instance()
+    logger = StatsLogger.instance()
+    assert StatsLogger.instance() is logger
+    agg = AverageAggregator()
+    agg.value = 1.0
+    agg.value = 3.0
+    assert agg.value == 2.0
+    logger["loss.bbox"].value = 4.0
+    logger.update({"loss.bbox": 6.0, "gradnorm": 1.0})
+    assert logger["loss.bbox"].value == 5.0
+    sink = io.StringIO()
+    logger.add_output_file(sink)
+    logger.print_progress(1, 2, 0.5)
+    assert "loss.bbox: 5.00000" in sink.getvalue()
+    logger.clear()
+    assert logger["loss.bbox"]._count == 0
+    StatsLogger.reset_instance()
+
+
+def test_load_reference_format_config(tmp_path):
+    p = tmp_path / "cfg.yaml"
+    p.write_text(
+        "data:\n  dataset_type: cached_threedfront\n"
+        "network:\n  type: diffusion_scene_layout_ddpm\n  point_dim: 62\n"
+        "training:\n  epochs: 10\n  batch_size: 128\n"
+    )
+    cfg = load_config(str(p))
+    assert cfg["network"]["point_dim"] == 62
+    assert cfg["training"]["batch_size"] == 128
