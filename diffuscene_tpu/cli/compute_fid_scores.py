@@ -1,0 +1,43 @@
+"""FID/KID between real and generated render folders.
+
+CLI equivalent of `scripts/compute_fid_scores.py:41-118` (which calls
+cleanfid).  The feature extractor is selectable: InceptionV3 with local
+weights for paper-comparable numbers, or the offline pixel features (relative
+comparisons only — see eval/fid.py).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Compute FID/KID between render folders")
+    parser.add_argument("path_to_real_renderings")
+    parser.add_argument("path_to_synthesized_renderings")
+    parser.add_argument("--features", choices=["pixel", "inception"], default="pixel")
+    parser.add_argument("--inception_weights", default=None)
+    parser.add_argument("--kid_subset_size", type=int, default=1000)
+    args = parser.parse_args(argv)
+
+    from ..eval.fid import (
+        InceptionFeatures, PixelFeatures, compute_fid_folders, compute_kid_folders,
+    )
+
+    if args.features == "inception":
+        fn = InceptionFeatures(args.inception_weights)
+    else:
+        fn = PixelFeatures()
+        print("WARNING: pixel features are not comparable to published "
+              "Inception-FID numbers; pass --features inception with local weights")
+
+    fid = compute_fid_folders(args.path_to_real_renderings,
+                              args.path_to_synthesized_renderings, fn)
+    kid = compute_kid_folders(args.path_to_real_renderings,
+                              args.path_to_synthesized_renderings, fn,
+                              subset_size=args.kid_subset_size)
+    print(json.dumps({"fid": fid, "kid": kid, "features": args.features}))
+
+
+if __name__ == "__main__":
+    main()

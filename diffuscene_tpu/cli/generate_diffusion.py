@@ -1,0 +1,186 @@
+"""Generate scenes with a trained model; render + optional metrics.
+
+CLI equivalent of `scripts/generate_diffusion.py:47-469`.  Key TPU re-design:
+the reference samples one scene at a time through a 1000-step Python loop;
+here all requested scenes sample in batched jitted scans, then post-process,
+retrieval, and rendering run host-side.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Generate scenes (TPU)")
+    parser.add_argument("config_file")
+    parser.add_argument("output_directory")
+    parser.add_argument("--weight_file", default=None,
+                        help="experiment dir with model_* checkpoints (or a torch .pt)")
+    parser.add_argument("--n_sequences", type=int, default=10)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--clip_denoised", action="store_true")
+    parser.add_argument("--ddim", action="store_true")
+    parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--retrive_objfeats", action="store_true",
+                        help="retrieve meshes by latent shape codes")
+    parser.add_argument("--path_to_pickled_3d_futute_models", default=None)
+    parser.add_argument("--compute_intersec", action="store_true")
+    parser.add_argument("--render", action="store_true", help="save top-down renders")
+    parser.add_argument("--save_mesh", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..data.factory import get_dataset_raw_and_encoded
+    from ..data.threed_future import ThreedFutureDataset
+    from ..eval.metrics import (
+        categorical_kl, compute_intersection, compute_symmetry, scene_bboxes_from_params,
+    )
+    from ..eval.postprocess import split_network_samples
+    from ..eval.render import render_scene_dict, save_image
+    from ..models.scene_model import SceneDiffusion, SceneModelConfig
+    from ..utils import load_config, load_checkpoint, load_bounds
+
+    config = load_config(args.config_file)
+    os.makedirs(args.output_directory, exist_ok=True)
+
+    # eval-time encoding rewrite (generate_diffusion.py:201-208):
+    # text -> textfix, and no permutation at eval
+    enc = config["data"]["encoding_type"]
+    if "textfix" not in enc and "text" in enc:
+        enc = enc.replace("text", "textfix")
+    if "no_prm" not in enc:
+        enc = enc + "_no_prm"
+    raw, eval_ds = get_dataset_raw_and_encoded(
+        {**config["data"], "encoding_type": enc},
+        augmentations=None, split=config["validation"].get("splits", ["test"]),
+    )
+    bounds_dev = eval_ds.bounds.as_device_bounds()
+
+    net_cfg = dict(config["network"])
+    net_cfg.setdefault("sample_num_points", eval_ds.max_length)
+    cfg = SceneModelConfig.from_config(net_cfg)
+    scene = SceneDiffusion(cfg, bounds=None)
+    params = scene.init(jax.random.PRNGKey(args.seed))
+
+    if args.weight_file:
+        if args.weight_file.endswith((".pt", ".pth")):
+            from ..utils import convert_scene_model, load_torch_checkpoint
+
+            params = convert_scene_model(load_torch_checkpoint(args.weight_file))
+        else:
+            from ..train.trainer import Trainer, TrainState
+
+            trainer = Trainer(scene, config["training"])
+            state = trainer.init_state(jax.random.PRNGKey(args.seed))
+            state, epoch = load_checkpoint(state, args.weight_file)
+            assert epoch is not None, f"no checkpoints under {args.weight_file}"
+            params = state.params
+            print(f"loaded checkpoint epoch {epoch}")
+
+    objects_dataset = None
+    if args.path_to_pickled_3d_futute_models:
+        objects_dataset = ThreedFutureDataset.from_pickled_dataset(
+            args.path_to_pickled_3d_futute_models
+        )
+
+    # batched jitted sampling (vs generate_diffusion.py:294 batch-1 loop)
+    @jax.jit
+    def sample_batch(params, key, text_emb=None):
+        return scene.sample(params, key, batch_size=args.batch_size,
+                            text_emb=text_emb, clip_denoised=args.clip_denoised,
+                            ddim=args.ddim, ddim_steps=args.ddim_steps)
+
+    all_boxes = []
+    n_done = 0
+    key = jax.random.PRNGKey(args.seed)
+    while n_done < args.n_sequences:
+        key, sub = jax.random.split(key)
+        text_emb = None
+        if cfg.text_condition:
+            embs = []
+            for i in range(args.batch_size):
+                s = eval_ds[(n_done + i) % len(eval_ds)]
+                embs.append(np.asarray(s["desc_emb"], np.float32))
+            text_emb = np.stack(embs)
+        samples = np.asarray(sample_batch(params, sub, text_emb))
+        take = min(args.batch_size, args.n_sequences - n_done)
+        per_scene = split_network_samples(scene.spec, samples[:take])
+        for i, boxes in enumerate(per_scene):
+            boxes = eval_ds.post_process(boxes)
+            all_boxes.append(boxes)
+            idx = n_done + i
+            if args.render:
+                floor = None
+                img = render_scene_dict(boxes, floor_mask=floor)
+                save_image(img, os.path.join(args.output_directory, f"{idx:05d}.png"))
+            if objects_dataset is not None and args.save_mesh:
+                _export_retrieved(boxes, objects_dataset, raw.class_labels,
+                                  args.retrive_objfeats,
+                                  os.path.join(args.output_directory, f"{idx:05d}"))
+        n_done += take
+        print(f"sampled {n_done}/{args.n_sequences}")
+
+    # metrics (generate_diffusion.py:394-429 + categorical KL at 44)
+    stats = {"n_scenes": len(all_boxes)}
+    class_freq_gen = np.zeros(len(raw.class_labels) - 2, np.float64)
+    per_scene_stats = []
+    for boxes in all_boxes:
+        cls = np.asarray(boxes["class_labels"])
+        if cls.ndim == 3:
+            cls = cls[0]
+        for c in cls.argmax(-1):
+            class_freq_gen[c] += 1
+        if args.compute_intersec:
+            bb = scene_bboxes_from_params(
+                np.asarray(boxes["translations"]).reshape(-1, 3),
+                np.asarray(boxes["sizes"]).reshape(-1, 3))
+            n, pairs, avg_iou, avg_insec, ratio = compute_intersection(bb)
+            sym = compute_symmetry(bb, cls)
+            per_scene_stats.append((n, pairs, avg_iou, avg_insec, ratio, sym))
+    if class_freq_gen.sum() > 0:
+        gt_freq = np.array([raw.class_frequencies[c] for c in raw.object_types], np.float64)
+        gen_freq = class_freq_gen / class_freq_gen.sum()
+        stats["categorical_kl"] = categorical_kl(gt_freq / gt_freq.sum(), gen_freq)
+    if per_scene_stats:
+        arr = np.asarray(per_scene_stats, np.float64)
+        stats.update(
+            avg_objects=float(arr[:, 0].mean()), avg_pair_iou=float(arr[:, 2].mean()),
+            avg_intersec=float(arr[:, 3].mean()), avg_overlap_ratio=float(arr[:, 4].mean()),
+            avg_symmetry=float(arr[:, 5].mean()),
+        )
+    with open(os.path.join(args.output_directory, "metrics.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    print(json.dumps(stats))
+
+
+def _export_retrieved(boxes, objects_dataset, class_labels, use_objfeats, out_prefix):
+    """Mesh retrieval per object (scene_synthesis/utils.py:10-165); exports a
+    JSON manifest of retrieved jids + transforms (OBJ export needs trimesh)."""
+    sq = lambda a: np.asarray(a)[0] if np.asarray(a).ndim == 3 else np.asarray(a)
+    cls = sq(boxes["class_labels"])
+    manifest = []
+    for i in range(len(cls)):
+        label = class_labels[int(cls[i].argmax())]
+        if use_objfeats and "objfeats" in boxes:
+            obj = objects_dataset.get_closest_furniture_to_objfeats_and_size(
+                label, sq(boxes["objfeats"])[i], sq(boxes["sizes"])[i])
+        else:
+            obj = objects_dataset.get_closest_furniture_to_box(label, sq(boxes["sizes"])[i])
+        manifest.append({
+            "label": label,
+            "model_jid": getattr(obj, "model_jid", None),
+            "translation": sq(boxes["translations"])[i].tolist(),
+            "size": sq(boxes["sizes"])[i].tolist(),
+            "angle": sq(boxes["angles"])[i].tolist(),
+        })
+    with open(out_prefix + "_scene.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

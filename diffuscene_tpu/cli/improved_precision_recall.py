@@ -1,0 +1,55 @@
+"""Improved Precision & Recall between real and generated render folders.
+
+CLI equivalent of `scripts/improved_precision_recall.py` (k=3, 5000 samples
+default; VGG16-fc2 features in the reference — pluggable here, see
+eval/fid.py for the offline story).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Improved precision/recall over renders")
+    parser.add_argument("path_to_real_renderings")
+    parser.add_argument("path_to_synthesized_renderings")
+    parser.add_argument("--batch_size", type=int, default=100)
+    parser.add_argument("--k", type=int, default=3)
+    parser.add_argument("--num_samples", type=int, default=5000)
+    parser.add_argument("--features", choices=["pixel", "inception"], default="pixel")
+    parser.add_argument("--inception_weights", default=None)
+    parser.add_argument("--toy", action="store_true",
+                        help="self-check of the IPR math on synthetic gaussians "
+                        "(improved_precision_recall.py:344-368)")
+    args = parser.parse_args(argv)
+
+    from ..eval.ipr import compute_precision_recall, compute_ipr_folders
+
+    if args.toy:
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        real = rng.normal(0, 1, (args.num_samples, 64))
+        fake = rng.normal(0.5, 1, (args.num_samples, 64))
+        pr = compute_precision_recall(real, fake, k=args.k, num_samples=args.num_samples)
+        print(json.dumps({"toy": True, "precision": pr.precision, "recall": pr.recall}))
+        return
+
+    if args.features == "inception":
+        from ..eval.fid import InceptionFeatures
+
+        fn = InceptionFeatures(args.inception_weights)
+    else:
+        from ..eval.fid import PixelFeatures
+
+        fn = PixelFeatures()
+    pr = compute_ipr_folders(args.path_to_real_renderings,
+                             args.path_to_synthesized_renderings,
+                             feature_fn=fn, k=args.k, num_samples=args.num_samples)
+    print(json.dumps({"precision": pr.precision, "recall": pr.recall,
+                      "features": args.features}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Train the scene-layout diffusion model.
+
+CLI equivalent of `scripts/train_diffusion.py:27-256`: datasets from config,
+bounds export, epoch loop with per-epoch LR schedule, periodic checkpoints
+and validation, stats logging.  The per-batch work runs as one donated jitted
+XLA program (see `train/trainer.py`); batches stream from the host pipeline
+with prefetch.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a scene diffusion model (TPU)")
+    parser.add_argument("config_file", help="Path to the YAML config")
+    parser.add_argument("output_directory", help="Where to save checkpoints/logs")
+    parser.add_argument("--experiment_tag", default=None)
+    parser.add_argument("--continue_from_epoch", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=27)
+    parser.add_argument("--epochs", type=int, default=None, help="override config epochs")
+    parser.add_argument("--with_wandb_logger", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..data.factory import get_dataset_raw_and_encoded, get_encoded_dataset
+    from ..data.loader import DataLoader
+    from ..models.scene_model import SceneDiffusion, SceneModelConfig
+    from ..train.trainer import Trainer
+    from ..utils import (
+        StatsLogger, WandB, load_config, save_bounds, save_checkpoint,
+        load_checkpoint, latest_epoch, save_experiment_params,
+    )
+
+    config = load_config(args.config_file)
+    np.random.seed(args.seed)
+
+    experiment_tag = args.experiment_tag or os.path.basename(args.config_file).rsplit(".", 1)[0]
+    experiment_dir = os.path.join(args.output_directory, experiment_tag)
+    os.makedirs(experiment_dir, exist_ok=True)
+    save_experiment_params(args, experiment_tag, experiment_dir)
+
+    # datasets (train_diffusion.py:100-163)
+    train_raw, train_ds = get_dataset_raw_and_encoded(
+        config["data"],
+        augmentations=config["data"].get("augmentations"),
+        split=config["training"].get("splits", ["train", "val"]),
+        seed=args.seed,
+    )
+    val_ds = get_encoded_dataset(
+        {**config["data"], "encoding_type": config["data"]["encoding_type"]},
+        augmentations=None,
+        split=config["validation"].get("splits", ["test"]),
+        seed=args.seed,
+    )
+    bounds = train_ds.bounds.as_device_bounds()
+    save_bounds(experiment_dir, bounds)
+
+    net_cfg = dict(config["network"])
+    net_cfg.setdefault("sample_num_points", train_ds.max_length)
+    cfg = SceneModelConfig.from_config(net_cfg)
+    scene = SceneDiffusion(cfg, bounds=bounds if cfg.loss_config.loss_iou else None)
+
+    batch_size = int(config["training"].get("batch_size", 128))
+    train_loader = DataLoader(train_ds, batch_size, shuffle=True, seed=args.seed)
+    # drop_last so every eval batch shards evenly over the device mesh
+    val_loader = DataLoader(val_ds, int(config["validation"].get("batch_size", batch_size)),
+                            shuffle=False, drop_last=True)
+    steps_per_epoch = max(len(train_loader), 1)
+
+    trainer = Trainer(scene, config["training"], steps_per_epoch=steps_per_epoch)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+
+    # resume (training_utils.py:62-87)
+    state, resumed = load_checkpoint(state, experiment_dir)
+    start_epoch = (resumed + 1) if resumed is not None else args.continue_from_epoch
+
+    logger = WandB.instance() if args.with_wandb_logger else StatsLogger.instance()
+    if args.with_wandb_logger:
+        logger.init(args, None, project=config.get("logger", {}).get("project", "diffuscene_tpu"),
+                    name=experiment_tag)
+    logger.add_output_file(open(os.path.join(experiment_dir, "stats.txt"), "a"))
+
+    epochs = args.epochs if args.epochs is not None else int(config["training"].get("epochs", 1000))
+    save_every = int(config["training"].get("save_frequency", 10))
+    val_every = int(config["validation"].get("frequency", 100))
+    key = jax.random.PRNGKey(args.seed)
+
+    for epoch in range(start_epoch, epochs):
+        for b, batch in enumerate(train_loader):
+            device_batch = trainer.put_batch(batch)
+            state, metrics = trainer.train_step(state, device_batch, key)
+            logger.update({k: float(v) for k, v in metrics.items()})
+            logger.print_progress(epoch, b + 1, float(metrics["loss"]))
+        logger["lr"].value = trainer.current_lr(int(state.step))
+        logger.clear()
+
+        if (epoch % save_every) == 0 and epoch > start_epoch:
+            save_checkpoint(state, experiment_dir, epoch)
+        if (epoch % val_every) == 0:
+            for b, batch in enumerate(val_loader):
+                metrics = trainer.eval_step(state, trainer.put_batch(batch), key)
+                logger.update({k: float(v) for k, v in metrics.items()})
+                logger.print_progress(-1, b + 1, float(metrics["loss"]))
+            logger.clear()
+
+    save_checkpoint(state, experiment_dir, epochs - 1)
+    print(f"\ndone: {epochs - start_epoch} epochs, final step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()

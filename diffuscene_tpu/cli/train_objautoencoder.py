@@ -1,0 +1,83 @@
+"""Train the KL shape autoencoder on 3D-FUTURE point clouds.
+
+CLI equivalent of `scripts/train_objautoencoder.py:23-294`: dedupe furniture
+by model_jid across room types, serve 2048-point subsamples, train with
+chamfer + KL (Pallas chamfer kernel on TPU).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Train the shape autoencoder (TPU)")
+    parser.add_argument("config_file")
+    parser.add_argument("output_directory")
+    parser.add_argument("--experiment_tag", default=None)
+    parser.add_argument("--path_to_pickled_dataset", default=None,
+                        help="pickled ThreedFutureNormPCDataset (or reference pickle)")
+    parser.add_argument("--seed", type=int, default=27)
+    parser.add_argument("--epochs", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    from ..data.threed_future import ThreedFutureNormPCDataset
+    from ..models.autoencoder import KLAutoEncoder
+    from ..train.ae_trainer import AETrainer
+    from ..utils import (
+        StatsLogger, load_config, load_checkpoint, save_checkpoint, save_experiment_params,
+    )
+
+    config = load_config(args.config_file)
+    experiment_tag = args.experiment_tag or os.path.basename(args.config_file).rsplit(".", 1)[0]
+    experiment_dir = os.path.join(args.output_directory, experiment_tag)
+    os.makedirs(experiment_dir, exist_ok=True)
+    save_experiment_params(args, experiment_tag, experiment_dir)
+
+    assert args.path_to_pickled_dataset, (
+        "pass --path_to_pickled_dataset (build it with cli.pickle_threed_future_pointcloud; "
+        "the reference's raw-JSON path needs the 3D-FRONT download)"
+    )
+    dataset = ThreedFutureNormPCDataset.from_pickled_dataset(args.path_to_pickled_dataset)
+    n_points = getattr(dataset, "num_samples", 2048)
+
+    net_cfg = config.get("network", {})
+    model = KLAutoEncoder(
+        latent_dim=int(net_cfg.get("objfeat_dim", 32)),
+        kl_weight=float(net_cfg.get("kl_weight", 0.001)),
+    )
+    batch_size = int(config["training"].get("batch_size", 16))
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    trainer = AETrainer(model, config["training"], steps_per_epoch=steps_per_epoch,
+                        n_points=n_points)
+    state = trainer.init_state(jax.random.PRNGKey(args.seed))
+    state, resumed = load_checkpoint(state, experiment_dir)
+    start_epoch = (resumed + 1) if resumed is not None else 0
+
+    logger = StatsLogger.instance()
+    logger.add_output_file(open(os.path.join(experiment_dir, "stats.txt"), "a"))
+    epochs = args.epochs if args.epochs is not None else int(config["training"].get("epochs", 2000))
+    save_every = int(config["training"].get("save_frequency", 100))
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+
+    order = np.arange(len(dataset))
+    for epoch in range(start_epoch, epochs):
+        rng.shuffle(order)
+        for b in range(steps_per_epoch):
+            idxs = order[b * batch_size : (b + 1) * batch_size]
+            pts = np.stack([dataset[int(i)]["points"] for i in idxs])
+            state, metrics = trainer.train_step(state, trainer.put_batch(pts), key)
+            logger.update({k: float(v) for k, v in metrics.items()})
+            logger.print_progress(epoch, b + 1, float(metrics["loss"]))
+        logger.clear()
+        if (epoch % save_every) == 0 and epoch > start_epoch:
+            save_checkpoint(state, experiment_dir, epoch)
+    save_checkpoint(state, experiment_dir, epochs - 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,17 @@ from .encoding import (
     scale_sample,
 )
 from .loader import DataLoader, EncodedDataset, collate
+from .factory import get_dataset_raw_and_encoded, get_encoded_dataset, get_raw_dataset
+from .filters import filter_compose, filter_function, load_furniture_map
+from .raw import (
+    Room,
+    ThreedFront,
+    ThreedFutureModel,
+    parse_threed_front_scenes,
+    parse_threed_future_models,
+)
 from .splits import CSVSplitsBuilder
 from .synthetic import make_synthetic_cached_dataset
+from .text import TextDescriptionGenerator, compute_rel, extract_relations
 from .threed_front import CachedThreedFront
+from .threed_future import ThreedFutureDataset, ThreedFutureNormPCDataset

@@ -1,0 +1,707 @@
+"""Raw 3D-FRONT/3D-FUTURE parsing: scene records + JSON walkers (no torch,
+no trimesh).
+
+Re-design of the reference scene-object layer
+(`scene_synthesis/datasets/threed_front_scene.py:21-666`) and raw parsers
+(`scene_synthesis/datasets/utils.py:12-198`).  Differences:
+
+- mesh handling is numpy-only: a minimal OBJ vertex/face reader replaces
+  trimesh for the two things the pipeline needs from meshes — axis-aligned
+  bounding boxes (object sizes) and floor-plan vertices.  Rendering-oriented
+  methods (simple_3dviz renderables) are intentionally out of scope; see
+  eval/render.py for the native renderer.
+- parsed results are cached via the same PATH_TO_SCENES /
+  PATH_TO_3D_FUTURE_OBJECTS env-var pickle short-circuits.
+"""
+from __future__ import annotations
+
+import json
+import os
+import pickle
+from collections import Counter, defaultdict
+from dataclasses import dataclass
+from functools import lru_cache, reduce
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+def rotation_matrix(axis, theta: float) -> np.ndarray:
+    """Axis-angle rotation matrix (3D-Front-Toolbox convention;
+    threed_front_scene.py:21-31)."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.sqrt(np.dot(axis, axis))
+    a = np.cos(theta / 2.0)
+    b, c, d = -axis * np.sin(theta / 2.0)
+    aa, bb, cc, dd = a * a, b * b, c * c, d * d
+    bc, ad, ac, ab, bd, cd = b * c, a * d, a * c, a * b, b * d, c * d
+    return np.array([
+        [aa + bb - cc - dd, 2 * (bc + ad), 2 * (bd - ac)],
+        [2 * (bc - ad), aa + cc - bb - dd, 2 * (cd + ab)],
+        [2 * (bd + ac), 2 * (cd - ab), aa + dd - bb - cc],
+    ])
+
+
+def load_obj_vertices_faces(path: str):
+    """Minimal OBJ reader: vertices (V, 3) float64 + triangle faces (F, 3) int.
+
+    Replaces trimesh.load for bbox/size computation
+    (threed_front_scene.py:270-283).  Polygons are fan-triangulated.
+    """
+    vertices: List[List[float]] = []
+    faces: List[List[int]] = []
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                vertices.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(p.split("/")[0]) for p in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(vertices) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    faces.append([idx[0], idx[k], idx[k + 1]])
+    return np.asarray(vertices, np.float64), np.asarray(faces, np.int64)
+
+
+@dataclass
+class Asset:
+    """3D-FUTURE model metadata.  (threed_front_scene.py:33-44)"""
+
+    super_category: str
+    category: str
+    style: str
+    theme: str
+    material: str
+
+    @property
+    def label(self):
+        return self.category
+
+
+class ModelInfo:
+    """All 3D-FUTURE model metadata, keyed by model id.
+    (threed_front_scene.py:47-131)"""
+
+    def __init__(self, model_info_data: List[Dict]):
+        self.model_info_data = model_info_data
+        self._model_info: Optional[Dict[str, Asset]] = None
+        self._styles, self._themes = [], []
+        self._categories, self._super_categories, self._materials = [], [], []
+
+    @property
+    def model_info(self) -> Dict[str, Asset]:
+        if self._model_info is None:
+            self._model_info = {}
+            for m in self.model_info_data:
+                for key, store in [("style", self._styles), ("theme", self._themes),
+                                   ("super-category", self._super_categories),
+                                   ("category", self._categories),
+                                   ("material", self._materials)]:
+                    if m.get(key) is not None and m[key] not in store:
+                        store.append(m[key])
+                super_cat = (m["super-category"].lower().replace(" / ", "/")
+                             if m.get("super-category") else "unknown_super-category")
+                cat = (m["category"].lower().replace(" / ", "/")
+                       if m.get("category") else "unknown_category")
+                self._model_info[m["model_id"]] = Asset(
+                    super_cat, cat, m.get("style"), m.get("theme"), m.get("material")
+                )
+        return self._model_info
+
+    @property
+    def categories(self):
+        return set(s.lower().replace(" / ", "/") for s in self._categories)
+
+    @property
+    def super_categories(self):
+        return set(s.lower().replace(" / ", "/") for s in self._super_categories)
+
+    @classmethod
+    def from_file(cls, path: str) -> "ModelInfo":
+        with open(path, "rb") as f:
+            return cls(json.load(f))
+
+
+class BaseThreedFutureModel:
+    """(threed_front_scene.py:134-184)"""
+
+    def __init__(self, model_uid, model_jid, position, rotation, scale):
+        self.model_uid = model_uid
+        self.model_jid = model_jid
+        self.position = position
+        self.rotation = rotation
+        self.scale = scale
+
+    def _transform(self, vertices: np.ndarray) -> np.ndarray:
+        ref = [0, 0, 1]
+        axis = np.cross(ref, self.rotation[1:])
+        theta = np.arccos(np.dot(ref, self.rotation[1:])) * 2
+        vertices = vertices * self.scale
+        if np.sum(axis) != 0 and not np.isnan(theta):
+            R = rotation_matrix(axis, theta)
+            vertices = vertices.dot(R.T)
+        return vertices + self.position
+
+
+class ThreedFutureModel(BaseThreedFutureModel):
+    """One furniture instance (threed_front_scene.py:187-420)."""
+
+    def __init__(self, model_uid, model_jid, model_info, position, rotation,
+                 scale, path_to_models):
+        super().__init__(model_uid, model_jid, position, rotation, scale)
+        self.model_info = model_info
+        self.path_to_models = path_to_models
+        self._label: Optional[str] = None
+        self._size: Optional[np.ndarray] = None
+
+    # --- paths (threed_front_scene.py:205-254) ---
+    @property
+    def raw_model_path(self):
+        return os.path.join(self.path_to_models, self.model_jid, "raw_model.obj")
+
+    @property
+    def raw_model_norm_pc_path(self):
+        return os.path.join(self.path_to_models, self.model_jid, "raw_model_norm_pc.npz")
+
+    @property
+    def raw_model_norm_pc_lat_path(self):
+        return os.path.join(self.path_to_models, self.model_jid, "raw_model_norm_pc_lat.npz")
+
+    @property
+    def raw_model_norm_pc_lat32_path(self):
+        return os.path.join(self.path_to_models, self.model_jid, "raw_model_norm_pc_lat32.npz")
+
+    @property
+    def texture_image_path(self):
+        return os.path.join(self.path_to_models, self.model_jid, "texture.png")
+
+    @property
+    def path_to_bbox_vertices(self):
+        return os.path.join(self.path_to_models, self.model_jid, "bbox_vertices.npy")
+
+    # --- cached per-model data ---
+    def raw_model_norm_pc(self):
+        return np.load(self.raw_model_norm_pc_path)["points"].astype(np.float32)
+
+    def raw_model_norm_pc_lat(self):
+        return np.load(self.raw_model_norm_pc_lat_path)["latent"].astype(np.float32)
+
+    def raw_model_norm_pc_lat32(self):
+        return np.load(self.raw_model_norm_pc_lat32_path)["latent"].astype(np.float32)
+
+    def raw_model(self):
+        """(vertices, faces) of the raw OBJ (numpy, not trimesh)."""
+        return load_obj_vertices_faces(self.raw_model_path)
+
+    def raw_model_transformed(self, offset=(0.0, 0.0, 0.0)):
+        v, f = self.raw_model()
+        return self._transform(v) + np.asarray(offset), f
+
+    def _bbox_vertices(self) -> np.ndarray:
+        """8 bbox corner vertices of the raw model, cached on disk
+        (threed_front_scene.py:339-345)."""
+        try:
+            return np.load(self.path_to_bbox_vertices, mmap_mode="r")
+        except (FileNotFoundError, ValueError):
+            v, _ = self.raw_model()
+            lo, hi = v.min(0), v.max(0)
+            # trimesh bounding_box vertex ordering: z fastest, then y, then x
+            corners = np.array([
+                [x, y, z] for x in (lo[0], hi[0]) for y in (lo[1], hi[1]) for z in (lo[2], hi[2])
+            ])
+            try:
+                np.save(self.path_to_bbox_vertices, corners)
+            except OSError:
+                pass
+            return corners
+
+    def corners(self, offset=(0.0, 0.0, 0.0)) -> np.ndarray:
+        return self._transform(self._bbox_vertices()) + np.asarray(offset)
+
+    def centroid(self, offset=(0.0, 0.0, 0.0)):
+        return self.corners(offset).mean(axis=0)
+
+    @property
+    def size(self) -> np.ndarray:
+        """Half-extents from transformed bbox corner distances
+        (threed_front_scene.py:295-302)."""
+        if self._size is None:
+            c = self.corners()
+            self._size = np.array([
+                np.sqrt(np.sum((c[4] - c[0]) ** 2)) / 2,
+                np.sqrt(np.sum((c[2] - c[0]) ** 2)) / 2,
+                np.sqrt(np.sum((c[1] - c[0]) ** 2)) / 2,
+            ])
+        return self._size
+
+    @size.setter
+    def size(self, value):
+        self._size = np.asarray(value)
+
+    def bottom_center(self, offset=(0.0, 0.0, 0.0)):
+        centroid = self.centroid(offset)
+        return np.array([centroid[0], centroid[1] - self.size[1], centroid[2]])
+
+    @property
+    def bottom_size(self):
+        return self.size * [1, 2, 1]
+
+    @property
+    def z_angle(self) -> float:
+        """Rotation about +y in (-pi, pi].  (threed_front_scene.py:313-330)"""
+        ref = [0, 0, 1]
+        axis = np.cross(ref, self.rotation[1:])
+        theta = np.arccos(np.dot(ref, self.rotation[1:])) * 2
+        if np.sum(axis) == 0 or np.isnan(theta):
+            return 0
+        assert np.dot(axis, [1, 0, 1]) == 0
+        assert 0 <= theta <= 2 * np.pi
+        if theta >= np.pi:
+            theta = theta - 2 * np.pi
+        return np.sign(axis[1]) * theta
+
+    @property
+    def label(self):
+        if self._label is None:
+            self._label = self.model_info.label
+        return self._label
+
+    @label.setter
+    def label(self, value):
+        self._label = value
+
+    def one_hot_label(self, all_labels):
+        return np.eye(len(all_labels))[self.int_label(all_labels)]
+
+    def int_label(self, all_labels):
+        return all_labels.index(self.label)
+
+    def copy_from_other_model(self, other_model: "ThreedFutureModel") -> "ThreedFutureModel":
+        """(threed_front_scene.py:408-420)"""
+        model = ThreedFutureModel(
+            model_uid=other_model.model_uid,
+            model_jid=other_model.model_jid,
+            model_info=other_model.model_info,
+            position=self.position,
+            rotation=self.rotation,
+            scale=other_model.scale,
+            path_to_models=self.path_to_models,
+        )
+        model.label = self.label
+        return model
+
+
+class ThreedFutureExtra(BaseThreedFutureModel):
+    """Walls / floors / doors meshes.  (threed_front_scene.py:423-448)"""
+
+    def __init__(self, model_uid, model_jid, xyz, faces, model_type,
+                 position, rotation, scale):
+        super().__init__(model_uid, model_jid, position, rotation, scale)
+        self.xyz = xyz
+        self.faces = faces
+        self.model_type = model_type
+
+    def raw_model_transformed(self, offset=(0.0, 0.0, 0.0)):
+        return self._transform(np.array(self.xyz)) + np.asarray(offset), np.array(self.faces)
+
+
+class Room:
+    """A parsed 3D-FRONT room.  (threed_front_scene.py:451-666)"""
+
+    def __init__(self, scene_id, scene_type, bboxes, extras, json_path,
+                 path_to_room_masks_dir=None):
+        self.scene_id = scene_id
+        self.scene_type = scene_type
+        self.bboxes = bboxes
+        self.extras = extras
+        self.json_path = json_path
+        self.uid = "_".join([json_path, scene_id])
+        self.path_to_room_masks_dir = path_to_room_masks_dir
+        self.path_to_room_mask = (
+            os.path.join(path_to_room_masks_dir, self.uid, "room_mask.png")
+            if path_to_room_masks_dir is not None else None
+        )
+
+    def __len__(self):
+        return len(self.bboxes)
+
+    @property
+    def floor(self):
+        return [e for e in self.extras if e.model_type == "Floor"][0]
+
+    @property
+    def bbox(self):
+        corners = np.vstack([f.corners() for f in self.bboxes])
+        return np.min(corners, axis=0), np.max(corners, axis=0)
+
+    @property
+    def bboxes_centroid(self):
+        a, b = self.bbox
+        return (a + b) / 2
+
+    @property
+    def furniture_in_room(self):
+        return [f.label for f in self.bboxes]
+
+    @property
+    def count_furniture_in_room(self):
+        return Counter(self.furniture_in_room)
+
+    @property
+    def floor_plan(self):
+        """Concatenated floor meshes (vertices, faces).
+        (threed_front_scene.py:491-505)"""
+        def cat_mesh(m1, m2):
+            v1, f1 = m1
+            v2, f2 = m2
+            return np.vstack([v1, v2]), np.vstack([f1, f2 + len(v1)])
+
+        vertices, faces = reduce(
+            cat_mesh,
+            ((e.xyz, e.faces) for e in self.extras if e.model_type == "Floor"),
+        )
+        return np.copy(vertices), np.copy(faces)
+
+    @property
+    def floor_plan_bbox(self):
+        v, _ = self.floor_plan
+        return np.min(v, axis=0), np.max(v, axis=0)
+
+    @property
+    def floor_plan_centroid(self):
+        a, b = self.floor_plan_bbox
+        return (a + b) / 2
+
+    @property
+    def centroid(self):
+        return self.floor_plan_centroid
+
+    def room_mask_rotated(self, angle: float = 0):
+        from PIL import Image
+
+        im = Image.open(self.path_to_room_mask).convert("RGB")
+        im = im.rotate(angle * 180 / np.pi, resample=Image.BICUBIC)
+        return np.asarray(im).astype(np.float32) / np.float32(255)
+
+    @property
+    def room_mask(self):
+        return self.room_mask_rotated(0)
+
+    def category_counts(self, class_labels):
+        if "start" in class_labels and "end" in class_labels:
+            class_labels = class_labels[:-2]
+        counts = [0] * len(class_labels)
+        for label in self.furniture_in_room:
+            counts[class_labels.index(label)] += 1
+        return counts
+
+    def ordered_bboxes_with_centroid(self):
+        centroids = np.array([f.centroid(-self.centroid) for f in self.bboxes])
+        ordering = np.lexsort(centroids.T)
+        return [self.bboxes[i] for i in ordering]
+
+    def ordered_bboxes_with_class_labels(self, all_labels):
+        centroids = np.array([f.centroid(-self.centroid) for f in self.bboxes])
+        int_labels = np.array([[f.int_label(all_labels)] for f in self.bboxes])
+        ordering = np.lexsort(np.hstack([centroids, int_labels]).T)
+        return [self.bboxes[i] for i in ordering]
+
+    def ordered_bboxes_with_class_frequencies(self, class_order):
+        centroids = np.array([f.centroid(-self.centroid) for f in self.bboxes])
+        label_order = np.array([[class_order[f.label]] for f in self.bboxes])
+        ordering = np.lexsort(np.hstack([centroids, label_order]).T)
+        return [self.bboxes[i] for i in ordering[::-1]]
+
+    def augment_room(self, objects_dataset, rng: Optional[np.random.Generator] = None):
+        """Swap one random object for its nearest-by-size catalog neighbor.
+        (threed_front_scene.py:639-666)"""
+        rng = rng or np.random.default_rng()
+        bi = self.bboxes[int(rng.integers(len(self.bboxes)))]
+        furniture = objects_dataset.get_closest_furniture_to_box(
+            bi.label, bi.size + rng.normal(0, 0.02)
+        )
+        new_bboxes = [b for b in self.bboxes if b is not bi] + [bi.copy_from_other_model(furniture)]
+        return Room(
+            scene_id=self.scene_id + "_augm",
+            scene_type=self.scene_type,
+            bboxes=new_bboxes,
+            extras=self.extras,
+            json_path=self.json_path,
+            path_to_room_masks_dir=self.path_to_room_masks_dir,
+        )
+
+
+# ---------------------------------------------------------------------------
+# dataset walkers (scene_synthesis/datasets/utils.py:12-198)
+# ---------------------------------------------------------------------------
+
+def _valid_scale(scale) -> bool:
+    return not (any(s < 1e-5 for s in scale) or any(s > 5 for s in scale))
+
+
+def parse_threed_front_scenes(dataset_directory, path_to_model_info,
+                              path_to_models, path_to_room_masks_dir=None,
+                              pickle_output: Optional[str] = None) -> List[Room]:
+    if os.getenv("PATH_TO_SCENES"):
+        with open(os.environ["PATH_TO_SCENES"], "rb") as f:
+            return pickle.load(f)
+
+    model_info = ModelInfo.from_file(path_to_model_info).model_info
+    layouts = [
+        os.path.join(dataset_directory, f)
+        for f in sorted(os.listdir(dataset_directory)) if f.endswith(".json")
+    ]
+    scenes: List[Room] = []
+    unique_room_ids = set()
+    for m in layouts:
+        with open(m) as f:
+            data = json.load(f)
+        furniture_in_scene = {}
+        for ff in data["furniture"]:
+            if ff.get("valid") and ff["jid"] in model_info:
+                furniture_in_scene[ff["uid"]] = dict(
+                    model_uid=ff["uid"], model_jid=ff["jid"],
+                    model_info=model_info[ff["jid"]],
+                )
+        meshes_in_scene = {
+            mm["uid"]: dict(
+                mesh_uid=mm["uid"], mesh_jid=mm["jid"],
+                mesh_xyz=np.asarray(mm["xyz"]).reshape(-1, 3),
+                mesh_faces=np.asarray(mm["faces"]).reshape(-1, 3),
+                mesh_type=mm["type"],
+            )
+            for mm in data["mesh"]
+        }
+        for rr in data["scene"]["room"]:
+            furniture_in_room, extras = [], []
+            is_valid_scene = True
+            for cc in rr["children"]:
+                if cc["ref"] in furniture_in_scene:
+                    if not _valid_scale(cc["scale"]):
+                        is_valid_scene = False
+                        break
+                    tf = furniture_in_scene[cc["ref"]]
+                    furniture_in_room.append(ThreedFutureModel(
+                        tf["model_uid"], tf["model_jid"], tf["model_info"],
+                        cc["pos"], cc["rot"], cc["scale"], path_to_models,
+                    ))
+                elif cc["ref"] in meshes_in_scene:
+                    mf = meshes_in_scene[cc["ref"]]
+                    extras.append(ThreedFutureExtra(
+                        mf["mesh_uid"], mf["mesh_jid"], mf["mesh_xyz"],
+                        mf["mesh_faces"], mf["mesh_type"],
+                        cc["pos"], cc["rot"], cc["scale"],
+                    ))
+            if len(furniture_in_room) > 1 and is_valid_scene \
+                    and rr["instanceid"] not in unique_room_ids:
+                unique_room_ids.add(rr["instanceid"])
+                scenes.append(Room(
+                    rr["instanceid"], rr["type"].lower(), furniture_in_room,
+                    extras, os.path.basename(m).split(".")[0], path_to_room_masks_dir,
+                ))
+    if pickle_output:
+        with open(pickle_output, "wb") as f:
+            pickle.dump(scenes, f)
+    return scenes
+
+
+def parse_threed_future_models(dataset_directory, path_to_models,
+                               path_to_model_info,
+                               pickle_output: Optional[str] = None) -> List[ThreedFutureModel]:
+    if os.getenv("PATH_TO_3D_FUTURE_OBJECTS"):
+        with open(os.environ["PATH_TO_3D_FUTURE_OBJECTS"], "rb") as f:
+            return pickle.load(f)
+
+    model_info = ModelInfo.from_file(path_to_model_info).model_info
+    layouts = [
+        os.path.join(dataset_directory, f)
+        for f in sorted(os.listdir(dataset_directory)) if f.endswith(".json")
+    ]
+    furnitures: List[ThreedFutureModel] = []
+    unique_ids = set()
+    for m in layouts:
+        with open(m) as f:
+            data = json.load(f)
+        furniture_in_scene = {
+            ff["uid"]: dict(model_uid=ff["uid"], model_jid=ff["jid"],
+                            model_info=model_info[ff["jid"]])
+            for ff in data["furniture"] if ff.get("valid") and ff["jid"] in model_info
+        }
+        for rr in data["scene"]["room"]:
+            for cc in rr["children"]:
+                if cc["ref"] not in furniture_in_scene:
+                    continue
+                if not _valid_scale(cc["scale"]):
+                    break
+                tf = furniture_in_scene[cc["ref"]]
+                if tf["model_uid"] not in unique_ids:
+                    unique_ids.add(tf["model_uid"])
+                    furnitures.append(ThreedFutureModel(
+                        tf["model_uid"], tf["model_jid"], tf["model_info"],
+                        cc["pos"], cc["rot"], cc["scale"], path_to_models,
+                    ))
+    if pickle_output:
+        with open(pickle_output, "wb") as f:
+            pickle.dump(furnitures, f)
+    return furnitures
+
+
+class ThreedFront:
+    """Container over parsed Rooms with dataset-level bounds/statistics.
+
+    (threed_front.py:16-216).  Bounds are computed over room-centered object
+    centroids, sizes, z-angles, and the latent objfeats of every object.
+    """
+
+    def __init__(self, scenes: List[Room], bounds: Optional[Dict] = None):
+        assert len(scenes) > 0
+        self.scenes = scenes
+        self._object_types = None
+        self._count_furniture = None
+        self._sizes = self._centroids = self._angles = None
+        self._objfeats = self._objfeats_32 = None
+        if bounds is not None:
+            self._centroids = bounds["translations"]
+            self._sizes = bounds["sizes"]
+            self._angles = bounds["angles"]
+            self._objfeats = bounds.get(
+                "objfeats", (np.array([1]), np.array([-1]), np.array([1])))
+            self._objfeats_32 = bounds.get(
+                "objfeats_32", (np.array([1]), np.array([-1]), np.array([1])))
+
+    def __len__(self):
+        return len(self.scenes)
+
+    def __getitem__(self, i):
+        return self.scenes[i]
+
+    def _compute_bounds(self):
+        c_min, c_max = np.full(3, np.inf), np.full(3, -np.inf)
+        s_min, s_max = np.full(3, np.inf), np.full(3, -np.inf)
+        a_min, a_max = np.inf, -np.inf
+        feats, feats32 = [], []
+        for s in self.scenes:
+            for f in s.bboxes:
+                centroid = f.centroid(-s.centroid)
+                c_min, c_max = np.minimum(centroid, c_min), np.maximum(centroid, c_max)
+                s_min, s_max = np.minimum(f.size, s_min), np.maximum(f.size, s_max)
+                a_min, a_max = min(f.z_angle, a_min), max(f.z_angle, a_max)
+                try:
+                    feats.append(f.raw_model_norm_pc_lat())
+                except (FileNotFoundError, OSError):
+                    pass
+                try:
+                    feats32.append(f.raw_model_norm_pc_lat32())
+                except (FileNotFoundError, OSError):
+                    pass
+        self._centroids = (c_min, c_max)
+        self._sizes = (s_min, s_max)
+        self._angles = (np.array([a_min]), np.array([a_max]))
+        for attr, arr in [("_objfeats", feats), ("_objfeats_32", feats32)]:
+            if arr:
+                a = np.stack(arr, axis=0)
+                setattr(self, attr, (np.array([a.flatten().std()]),
+                                     np.array([a.min()]), np.array([a.max()])))
+            else:
+                setattr(self, attr, (np.array([1]), np.array([-1]), np.array([1])))
+
+    @property
+    def bounds(self) -> Dict:
+        return {
+            "translations": self.centroids,
+            "sizes": self.sizes,
+            "angles": self.angles,
+            "objfeats": self.objfeats,
+            "objfeats_32": self.objfeats_32,
+        }
+
+    @property
+    def centroids(self):
+        if self._centroids is None:
+            self._compute_bounds()
+        return self._centroids
+
+    @property
+    def sizes(self):
+        if self._sizes is None:
+            self._compute_bounds()
+        return self._sizes
+
+    @property
+    def angles(self):
+        if self._angles is None:
+            self._compute_bounds()
+        return self._angles
+
+    @property
+    def objfeats(self):
+        if self._objfeats is None:
+            self._compute_bounds()
+        return self._objfeats
+
+    @property
+    def objfeats_32(self):
+        if self._objfeats_32 is None:
+            self._compute_bounds()
+        return self._objfeats_32
+
+    @property
+    def count_furniture(self):
+        if self._count_furniture is None:
+            counts = Counter(sum((s.furniture_in_room for s in self.scenes), []))
+            self._count_furniture = dict(sorted(counts.items(), key=lambda x: -x[1]))
+        return self._count_furniture
+
+    @property
+    def class_order(self):
+        return dict(zip(self.count_furniture.keys(), range(len(self.count_furniture))))
+
+    @property
+    def class_frequencies(self):
+        counts = self.count_furniture
+        total = sum(counts.values())
+        return {k: v / total for k, v in counts.items()}
+
+    @property
+    def object_types(self):
+        if self._object_types is None:
+            types = set()
+            for s in self.scenes:
+                types |= set(b.label for b in s.bboxes)
+            self._object_types = sorted(types)
+        return self._object_types
+
+    @property
+    def room_types(self):
+        return set(s.scene_type for s in self.scenes)
+
+    @property
+    def class_labels(self):
+        return self.object_types + ["start", "end"]
+
+    @property
+    def max_length(self) -> int:
+        """(threed_front.py:204-216)"""
+        room_types = set(str(s.scene_type) for s in self.scenes)
+        if any("bed" in r for r in room_types):
+            return 12
+        if any("living" in r for r in room_types):
+            return 21
+        if any("dining" in r for r in room_types):
+            return 21
+        if any("library" in r for r in room_types):
+            return 11
+        return 12
+
+    @classmethod
+    def from_dataset_directory(cls, dataset_directory, path_to_model_info,
+                               path_to_models, path_to_room_masks_dir=None,
+                               path_to_bounds=None, filter_fn=lambda s: s):
+        scenes = parse_threed_front_scenes(
+            dataset_directory, path_to_model_info, path_to_models,
+            path_to_room_masks_dir,
+        )
+        bounds = None
+        if path_to_bounds:
+            bounds = np.load(path_to_bounds, allow_pickle=True)
+        return cls([s for s in map(filter_fn, scenes) if s], bounds)

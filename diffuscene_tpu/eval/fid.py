@@ -1,0 +1,186 @@
+"""FID / KID over rendered scene images, with pluggable feature extractors.
+
+Equivalent of `scripts/compute_fid_scores.py` (which calls cleanfid's
+`compute_fid`/`compute_kid` over two render folders, lines 113-116).  cleanfid
+is not available in this image and InceptionV3 weights cannot be downloaded in
+an air-gapped environment, so the metric math lives here and the feature
+extractor is injected:
+
+- `InceptionFeatures` — torchvision/cleanfid-compatible InceptionV3 pool3
+  features when local weights exist (paper-comparable numbers).
+- `PixelFeatures` — normalized downsampled grayscale pixels; deterministic
+  and dependency-free.  Useful for relative comparisons and tests; NOT
+  comparable to published FID values (documented loudly on purpose).
+
+FID: Frechet distance between feature Gaussians (Heusel et al. 2017).
+KID: unbiased block MMD^2 with the cubic polynomial kernel
+     k(x, y) = (x.y / d + 1)^3 (Binkowski et al. 2018) — the same estimator
+     cleanfid uses (subset_size-sized blocks, averaged).
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+FeatureFn = Callable[[np.ndarray], np.ndarray]  # (B, H, W, C) uint8 -> (B, D)
+
+
+# ---------------------------------------------------------------------------
+# metric math
+# ---------------------------------------------------------------------------
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """FID between two Gaussians N(mu1, sigma1), N(mu2, sigma2)."""
+    from scipy import linalg
+
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def fid_from_features(feats1: np.ndarray, feats2: np.ndarray) -> float:
+    mu1, sigma1 = feats1.mean(0), np.cov(feats1, rowvar=False)
+    mu2, sigma2 = feats2.mean(0), np.cov(feats2, rowvar=False)
+    return frechet_distance(mu1, sigma1, mu2, sigma2)
+
+
+def _poly_kernel(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    d = x.shape[1]
+    return (x @ y.T / d + 1.0) ** 3
+
+
+def _mmd2_unbiased(x: np.ndarray, y: np.ndarray) -> float:
+    m = x.shape[0]
+    kxx = _poly_kernel(x, x)
+    kyy = _poly_kernel(y, y)
+    kxy = _poly_kernel(x, y)
+    np.fill_diagonal(kxx, 0.0)
+    np.fill_diagonal(kyy, 0.0)
+    return float(
+        kxx.sum() / (m * (m - 1)) + kyy.sum() / (m * (m - 1)) - 2.0 * kxy.mean()
+    )
+
+
+def kid_from_features(
+    feats1: np.ndarray, feats2: np.ndarray,
+    subset_size: int = 1000, n_subsets: int = 100, seed: int = 0,
+) -> float:
+    """Averaged block unbiased MMD^2 (the cleanfid KID estimator)."""
+    rng = np.random.default_rng(seed)
+    n = min(feats1.shape[0], feats2.shape[0], subset_size)
+    vals = []
+    for _ in range(n_subsets):
+        i1 = rng.choice(feats1.shape[0], n, replace=False)
+        i2 = rng.choice(feats2.shape[0], n, replace=False)
+        vals.append(_mmd2_unbiased(feats1[i1], feats2[i2]))
+    return float(np.mean(vals))
+
+
+# ---------------------------------------------------------------------------
+# feature extractors
+# ---------------------------------------------------------------------------
+
+class PixelFeatures:
+    """Grayscale, bilinear-resized, flattened pixel features (offline-safe).
+
+    NOT comparable to Inception-based FID numbers; use for relative
+    comparisons (e.g. tracking training progress) and tests only.
+    """
+
+    def __init__(self, size: int = 32):
+        self.size = size
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        from PIL import Image
+
+        out = []
+        for img in images:
+            im = Image.fromarray(img.astype(np.uint8)).convert("L").resize(
+                (self.size, self.size), Image.BILINEAR
+            )
+            out.append(np.asarray(im, np.float32).reshape(-1) / 255.0)
+        return np.stack(out)
+
+
+class InceptionFeatures:
+    """InceptionV3 pool3 features via torch (requires local weights).
+
+    ``weights_path`` must point to a torchvision-format inception_v3
+    state_dict; in air-gapped environments ship it alongside the data.
+    """
+
+    def __init__(self, weights_path: Optional[str] = None, batch_size: int = 32):
+        import torch
+        from torch import nn
+
+        try:
+            from torchvision.models import inception_v3
+        except ImportError as e:  # pragma: no cover - torchvision optional
+            raise ImportError(
+                "InceptionFeatures needs torchvision; use PixelFeatures or "
+                "ship a feature extractor"
+            ) from e
+        self.torch = torch
+        model = inception_v3(weights=None, aux_logits=True, init_weights=False)
+        if weights_path:
+            model.load_state_dict(torch.load(weights_path, map_location="cpu"))
+        model.fc = nn.Identity()
+        model.eval()
+        self.model = model
+        self.batch_size = batch_size
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        torch = self.torch
+        feats = []
+        with torch.no_grad():
+            for i in range(0, len(images), self.batch_size):
+                chunk = images[i : i + self.batch_size].astype(np.float32) / 255.0
+                x = torch.from_numpy(chunk).permute(0, 3, 1, 2)
+                x = torch.nn.functional.interpolate(
+                    x, size=(299, 299), mode="bilinear", align_corners=False
+                )
+                x = (x - 0.5) / 0.5
+                feats.append(self.model(x).numpy())
+        return np.concatenate(feats)
+
+
+def load_image_folder(path: str, limit: Optional[int] = None) -> np.ndarray:
+    """Load a folder of renders into (B, H, W, 3) uint8 (sorted order)."""
+    from PIL import Image
+
+    files = sorted(
+        os.path.join(path, f) for f in os.listdir(path)
+        if f.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    if limit:
+        files = files[:limit]
+    return np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
+
+
+def compute_fid_folders(real_dir: str, fake_dir: str,
+                        feature_fn: Optional[FeatureFn] = None) -> float:
+    """compute_fid_scores.py:113 equivalent over two render folders."""
+    feature_fn = feature_fn or PixelFeatures()
+    return fid_from_features(
+        feature_fn(load_image_folder(real_dir)), feature_fn(load_image_folder(fake_dir))
+    )
+
+
+def compute_kid_folders(real_dir: str, fake_dir: str,
+                        feature_fn: Optional[FeatureFn] = None,
+                        subset_size: int = 1000) -> float:
+    feature_fn = feature_fn or PixelFeatures()
+    return kid_from_features(
+        feature_fn(load_image_folder(real_dir)),
+        feature_fn(load_image_folder(fake_dir)),
+        subset_size=subset_size,
+    )

@@ -1,0 +1,91 @@
+"""Improved Precision & Recall (Kynkäänniemi et al. 2019) over render features.
+
+Equivalent of `scripts/improved_precision_recall.py` (IPR class, lines
+51-199; metric math at 202-300): build the k-NN radius manifold of each
+feature set (k=3, 5000 samples in the reference defaults) and measure
+
+  precision = fraction of fake samples inside the real manifold
+  recall    = fraction of real samples inside the fake manifold
+
+where "inside" means distance to some reference sample <= that sample's
+k-th-nearest-neighbor radius.  The reference uses VGG16-fc2 features; the
+extractor is pluggable here (see `eval/fid.py` for the options and why).
+
+The pairwise-distance sweep is the hot path; it is formulated as
+||x||^2 + ||y||^2 - 2 x.yT so it rides the MXU under jit when run on TPU.
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+
+class PrecisionRecall(NamedTuple):
+    precision: float
+    recall: float
+
+
+def pairwise_distances(x: np.ndarray, y: np.ndarray, chunk: int = 1024) -> np.ndarray:
+    """(N, D), (M, D) -> (N, M) euclidean distances, chunked over rows."""
+    x = np.asarray(x, np.float64)
+    y = np.asarray(y, np.float64)
+    yy = (y * y).sum(1)
+    out = np.empty((x.shape[0], y.shape[0]), np.float64)
+    for i in range(0, x.shape[0], chunk):
+        xc = x[i : i + chunk]
+        d2 = (xc * xc).sum(1)[:, None] + yy[None, :] - 2.0 * xc @ y.T
+        out[i : i + chunk] = np.sqrt(np.clip(d2, 0.0, None))
+    return out
+
+
+def knn_radii(feats: np.ndarray, k: int = 3) -> np.ndarray:
+    """Distance to the k-th nearest neighbor (excluding self) per sample.
+
+    (improved_precision_recall.py: manifold radii with k=3.)
+    """
+    d = pairwise_distances(feats, feats)
+    # column 0 is self (distance 0); k-th neighbor is at sorted index k
+    return np.sort(d, axis=1)[:, k]
+
+
+def _fraction_inside(subjects: np.ndarray, refs: np.ndarray, radii: np.ndarray) -> float:
+    d = pairwise_distances(subjects, refs)
+    inside = (d <= radii[None, :]).any(axis=1)
+    return float(inside.mean())
+
+
+def compute_precision_recall(
+    real_feats: np.ndarray,
+    fake_feats: np.ndarray,
+    k: int = 3,
+    num_samples: Optional[int] = 5000,
+    seed: int = 0,
+) -> PrecisionRecall:
+    """IPR over two feature sets (improved_precision_recall.py:256-300)."""
+    rng = np.random.default_rng(seed)
+    if num_samples is not None:
+        if len(real_feats) > num_samples:
+            real_feats = real_feats[rng.choice(len(real_feats), num_samples, replace=False)]
+        if len(fake_feats) > num_samples:
+            fake_feats = fake_feats[rng.choice(len(fake_feats), num_samples, replace=False)]
+    real_radii = knn_radii(real_feats, k)
+    fake_radii = knn_radii(fake_feats, k)
+    precision = _fraction_inside(fake_feats, real_feats, real_radii)
+    recall = _fraction_inside(real_feats, fake_feats, fake_radii)
+    return PrecisionRecall(precision, recall)
+
+
+def compute_ipr_folders(
+    real_dir: str, fake_dir: str,
+    feature_fn: Optional[Callable] = None,
+    k: int = 3, num_samples: int = 5000,
+) -> PrecisionRecall:
+    from .fid import PixelFeatures, load_image_folder
+
+    feature_fn = feature_fn or PixelFeatures()
+    return compute_precision_recall(
+        feature_fn(load_image_folder(real_dir)),
+        feature_fn(load_image_folder(fake_dir)),
+        k=k, num_samples=num_samples,
+    )

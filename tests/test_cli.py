@@ -1,0 +1,139 @@
+"""End-to-end CLI test: synthetic cached dataset -> train -> generate ->
+metrics/renders -> completion, all through the module entry points."""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from diffuscene_tpu.data import make_synthetic_cached_dataset
+
+N_SCENES = 96
+BATCH = 8
+
+
+@pytest.fixture(scope="module")
+def synth_config(tmp_path_factory):
+    root = tmp_path_factory.mktemp("synth")
+    data_dir = str(root / "cached")
+    make_synthetic_cached_dataset(data_dir, n_scenes=N_SCENES, max_objects=12, seed=0)
+    cfg = {
+        "data": {
+            "dataset_type": "cached_threedfront",
+            "encoding_type": "cached_diffusion_cosin_angle_objfeatsnorm_lat32_wocm",
+            "dataset_directory": data_dir,
+            "annotation_file": os.path.join(data_dir, "splits.csv"),
+            "augmentations": ["fixed_rotations"],
+            "train_stats": "dataset_stats.txt",
+            "room_layout_size": "64,64",
+            "max_length": 12,
+        },
+        "network": {
+            "type": "diffusion_scene_layout_ddpm",
+            "net_type": "unet1d",
+            "point_dim": 62,
+            "room_mask_condition": False,
+            "sample_num_points": 12,
+            "objectness_dim": 0,
+            "class_dim": 22,
+            "angle_dim": 2,
+            "objfeat_dim": 32,
+            "learnable_embedding": True,
+            "instance_condition": True,
+            "instance_emb_dim": 16,
+            "diffusion_kwargs": {
+                "schedule_type": "linear",
+                "time_num": 8,
+                "model_mean_type": "v",
+                "model_var_type": "fixedsmall",
+                "loss_separate": True,
+                "loss_iou": True,
+            },
+            "net_kwargs": {
+                "dim": 32, "dim_mults": [1, 1], "channels": 62,
+                "objectness_dim": 0, "class_dim": 22, "angle_dim": 2,
+                "objfeat_dim": 32, "context_dim": 0, "instanclass_dim": 16,
+                "seperate_all": True,
+            },
+        },
+        "feature_extractor": {"name": "resnet18", "feature_size": 64},
+        "training": {
+            "splits": ["train", "val"], "epochs": 2, "batch_size": BATCH,
+            "save_frequency": 1, "max_grad_norm": 10, "optimizer": "Adam",
+            "schedule": "step", "lr": 2e-4, "lr_step": 10000, "lr_decay": 0.5,
+        },
+        "validation": {"splits": ["test"], "frequency": 1, "batch_size": 8},
+        "logger": {"type": "stats"},
+    }
+    cfg_path = str(root / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return cfg_path, str(root)
+
+
+def test_train_cli(synth_config):
+    from diffuscene_tpu.cli.train_diffusion import main
+
+    cfg_path, root = synth_config
+    out = os.path.join(root, "out")
+    main([cfg_path, out, "--experiment_tag", "e2e", "--seed", "0"])
+    exp = os.path.join(out, "e2e")
+    assert os.path.isfile(os.path.join(exp, "params.json"))
+    assert os.path.isfile(os.path.join(exp, "bounds.npz"))
+    assert any(d.startswith("model_") for d in os.listdir(exp))
+    assert os.path.isfile(os.path.join(exp, "stats.txt"))
+
+
+def test_generate_cli(synth_config):
+    from diffuscene_tpu.cli.generate_diffusion import main
+
+    cfg_path, root = synth_config
+    exp = os.path.join(root, "out", "e2e")
+    gen_dir = os.path.join(root, "generated")
+    main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "4",
+          "--batch_size", "8", "--clip_denoised", "--render", "--compute_intersec"])
+    pngs = [f for f in os.listdir(gen_dir) if f.endswith(".png")]
+    assert len(pngs) == 4
+    with open(os.path.join(gen_dir, "metrics.json")) as f:
+        stats = json.load(f)
+    assert stats["n_scenes"] == 4
+    assert "categorical_kl" in stats and np.isfinite(stats["categorical_kl"])
+    assert "avg_overlap_ratio" in stats
+
+
+def test_generate_cli_ddim(synth_config):
+    from diffuscene_tpu.cli.generate_diffusion import main
+
+    cfg_path, root = synth_config
+    exp = os.path.join(root, "out", "e2e")
+    gen_dir = os.path.join(root, "generated_ddim")
+    main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "2",
+          "--batch_size", "8", "--ddim", "--ddim_steps", "4", "--render"])
+    assert len([f for f in os.listdir(gen_dir) if f.endswith(".png")]) == 2
+
+
+def test_completion_cli(synth_config):
+    from diffuscene_tpu.cli.completion_rearrange import main
+
+    cfg_path, root = synth_config
+    comp_dir = os.path.join(root, "completed")
+    main([cfg_path, comp_dir, "--n_sequences", "2", "--batch_size", "8",
+          "--num_partial", "3", "--render"])
+    assert len([f for f in os.listdir(comp_dir) if f.endswith("_boxes.json")]) == 2
+
+
+def test_fid_ipr_cli(synth_config, capsys):
+    from diffuscene_tpu.cli.compute_fid_scores import main as fid_main
+    from diffuscene_tpu.cli.improved_precision_recall import main as ipr_main
+
+    cfg_path, root = synth_config
+    gen_dir = os.path.join(root, "generated")
+    fid_main([gen_dir, gen_dir, "--features", "pixel", "--kid_subset_size", "4"])
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["fid"] < 1e-6  # identical folders
+    ipr_main([gen_dir, gen_dir, "--num_samples", "4"])
+    out = capsys.readouterr().out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert payload["precision"] == 1.0 and payload["recall"] == 1.0
