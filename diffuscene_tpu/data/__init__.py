@@ -19,6 +19,7 @@ from .raw import (
     parse_threed_future_models,
 )
 from .splits import CSVSplitsBuilder
+from .utils_io import export_pointcloud, load_pointcloud
 from .synthetic import make_synthetic_cached_dataset
 from .text import TextDescriptionGenerator, compute_rel, extract_relations
 from .threed_front import CachedThreedFront

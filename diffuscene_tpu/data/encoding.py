@@ -247,6 +247,48 @@ def diffusion_encode(sample: Sample, max_length: int) -> Sample:
 
 PERMUTE_KEYS = ["class_labels", "translations", "sizes", "angles"]
 
+ATTRIBUTE_KEYS = ("class_labels", "translations", "sizes", "angles",
+                  "objfeats", "objfeats_32")
+_PASSTHROUGH_KEYS = ("room_layout", "length", "relations", "description", "desc_emb")
+
+
+def autoregressive_encode(sample: Sample) -> Sample:
+    """ATISS-style autoregressive targets (threed_front_dataset.py:822-859).
+
+    Appends `<k>_tr` target sequences: class labels get an extra "end"
+    one-hot row, all other attributes an extra zero row.
+    """
+    out = dict(sample)
+    target = {}
+    for k, v in sample.items():
+        if k in _PASSTHROUGH_KEYS:
+            continue
+        if k == "class_labels":
+            end_label = np.eye(v.shape[1])[-1]
+            target[k + "_tr"] = np.vstack([np.copy(v), end_label])
+        else:
+            target[k + "_tr"] = np.vstack([np.copy(v), np.zeros(v.shape[1])])
+    out.update(target)
+    out["length"] = sample["class_labels"].shape[0]
+    return out
+
+
+def autoregressive_wocm_encode(sample: Sample, rng: np.random.Generator) -> Sample:
+    """Autoregressive 'without conditional masking': random prefix as input,
+    the next box as the target (threed_front_dataset.py:863-885)."""
+    out = autoregressive_encode(sample)
+    L = out["class_labels"].shape[0]
+    n_boxes = int(rng.integers(0, L + 1))
+    for k, v in list(out.items()):
+        if k in _PASSTHROUGH_KEYS:
+            continue
+        if k.endswith("_tr"):
+            out[k] = v[n_boxes]
+        else:
+            out[k] = v[:n_boxes]
+    out["length"] = n_boxes
+    return out
+
 
 @dataclasses.dataclass
 class EncodingPipeline:
@@ -271,6 +313,7 @@ class EncodingPipeline:
     text_eval: bool = False
     box_ordering: Optional[str] = None
     eval_mode: bool = False  # "eval" in name: stop after scaling
+    mode: str = "diffusion"  # "diffusion" | "autoregressive" | "autoregressive_wocm"
     seed: int = 0
 
     def __post_init__(self):
@@ -311,6 +354,10 @@ class EncodingPipeline:
             return s
         if self.permute:
             s = permute_objects(s, self._rng, self.permute_keys)
+        if self.mode == "autoregressive":
+            return autoregressive_encode(s)
+        if self.mode == "autoregressive_wocm":
+            return autoregressive_wocm_encode(s, self._rng)
         return diffusion_encode(s, self.max_length)
 
     def post_process(self, batch: Sample) -> Sample:
@@ -330,15 +377,22 @@ def build_encoding(
     """Parse the reference `encoding_type` micro-DSL into a pipeline.
 
     Recognized tokens (threed_front_dataset.py:942-1072): cached, diffusion,
-    text / textfix, cosin_angle, objfeatsnorm, objfeats, lat32, wocm,
-    no_prm, eval.
+    autoregressive, text / textfix, cosin_angle, objfeatsnorm, objfeats,
+    lat32, wocm, no_prm, eval.
+
+    Note the reference's 'wocm' token means different things per family: for
+    diffusion encodings it is part of the canonical name (no behavior), for
+    autoregressive encodings it selects the random-prefix WOCM targets
+    (threed_front_dataset.py:863-885) — reproduced here.
     """
-    if "cached" not in name or "diffusion" not in name:
-        raise NotImplementedError(
-            f"encoding '{name}' — only cached diffusion encodings are device-path; "
-            "use encoding_autoregressive for ATISS-style encodings"
-        )
+    if "autoregressive" in name:
+        mode = "autoregressive_wocm" if "wocm" in name else "autoregressive"
+    elif "diffusion" in name:
+        mode = "diffusion"
+    else:
+        raise NotImplementedError(f"encoding '{name}'")
     return EncodingPipeline(
+        mode=mode,
         bounds=bounds,
         max_length=max_length,
         class_labels=class_labels,

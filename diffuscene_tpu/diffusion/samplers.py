@@ -229,3 +229,47 @@ def p_sample_loop_arrange(
     return p_sample_loop(
         sched, model_mean_type, model_var_type, denoise_fn, sub_shape, key, clip_denoised
     )
+
+
+def calc_bpd_loop(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    model_var_type: str,
+    denoise_fn: DenoiseFn,
+    x_start: jnp.ndarray,
+    key: jax.Array,
+    clip_denoised: bool = True,
+):
+    """Variational-bound bits-per-dim over all timesteps, as one scan.
+
+    Functional port of reference ``calc_bpd_loop``
+    (diffusion_ddpm.py:690-717), which runs a reversed Python loop over T
+    with masked scatter updates; here the whole sweep is a single
+    ``lax.scan`` emitting the per-(batch, t) terms directly.
+
+    Returns (total_bpd mean, vb_terms mean, prior_bpd mean, mse mean) —
+    the same scalar summary tuple as the reference.
+    """
+    from .gaussian import prior_bpd, vb_terms_bpd
+
+    B = x_start.shape[0]
+    T = sched.num_timesteps
+
+    def body(k, t_scalar):
+        k, sub = jax.random.split(k)
+        t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+        noise = jax.random.normal(sub, x_start.shape, x_start.dtype)
+        data_t = q_sample(sched, x_start, t, noise)
+        model_output = denoise_fn(data_t, t)
+        vb, pred_xstart = vb_terms_bpd(
+            sched, model_mean_type, model_var_type, model_output,
+            x_start, data_t, t, clip_denoised,
+        )
+        mse = ((pred_xstart - x_start) ** 2).reshape(B, -1).mean(axis=-1)
+        return k, (vb, mse)
+
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)
+    _, (vals_bt, mse_bt) = jax.lax.scan(body, key, ts)  # (T, B) each
+    prior = prior_bpd(sched, x_start)  # (B,)
+    total = vals_bt.sum(axis=0) + prior
+    return total.mean(), vals_bt.mean(), prior.mean(), mse_bt.mean()

@@ -18,3 +18,13 @@ from .metrics import (
     scene_bboxes_from_params,
 )
 from .postprocess import one_hot_from_probs, split_network_samples
+from .render import class_colors, render_scene_dict, render_topdown, save_image
+from .retrieval import (
+    SceneMesh,
+    export_scene,
+    floor_plan_from_scene,
+    get_textured_objects,
+    get_textured_objects_based_on_objfeats,
+    merge_meshes,
+    write_obj,
+)

@@ -1,0 +1,163 @@
+"""Mesh retrieval + scene assembly + OBJ export (host-side, numpy-only).
+
+Equivalent of `scene_synthesis/utils.py:10-165` (get_textured_objects[_based
+_on_objfeats]) and the mesh utilities in `scripts/utils.py` (export_scene:257,
+merge_meshes:294-329, floor_plan_from_scene:65-181).  trimesh/simple_3dviz are
+unavailable in this image, so meshes are plain (vertices, faces[, texture
+path]) records via the numpy OBJ loader in data/raw.py; anything downstream
+(renderers, simulators) can consume the exported OBJs.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclass
+class SceneMesh:
+    """A retrieved, world-transformed furniture mesh."""
+
+    vertices: np.ndarray
+    faces: np.ndarray
+    label: str
+    model_jid: Optional[str] = None
+    texture_path: Optional[str] = None
+
+    @property
+    def bounding_box(self) -> np.ndarray:
+        """[x1, y1, z1, x2, y2, z2]"""
+        return np.concatenate([self.vertices.min(0), self.vertices.max(0)])
+
+
+def _rot_y(theta: float) -> np.ndarray:
+    c, s = np.cos(theta), np.sin(theta)
+    return np.array([[c, 0, -s], [0, 1, 0], [s, 0, c]], np.float64)
+
+
+def _transform_vertices(vertices, angle, translation, target_size=None):
+    v = np.asarray(vertices, np.float64)
+    if target_size is not None:
+        # rescale the raw mesh so its half-extents match the predicted size
+        # (scene_synthesis/utils.py:115-122)
+        half = (v.max(0) - v.min(0)) / 2
+        v = v * (np.asarray(target_size) / np.maximum(half, 1e-9))
+    center = (v.max(0) + v.min(0)) / 2
+    v = v - center
+    v = v @ _rot_y(float(angle)).T
+    return v + np.asarray(translation)
+
+
+def _squeeze(boxes: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    return {k: (np.asarray(v)[0] if np.asarray(v).ndim == 3 else np.asarray(v))
+            for k, v in boxes.items() if not isinstance(v, (str, list))}
+
+
+def get_textured_objects(boxes: Dict[str, np.ndarray], objects_dataset,
+                         class_labels: Sequence[str]) -> List[SceneMesh]:
+    """Retrieve the closest catalog mesh per object by class + size.
+
+    (scene_synthesis/utils.py:10-77).  ``boxes`` is a post-processed per-scene
+    dict in world units.
+    """
+    b = _squeeze(boxes)
+    angles = b["angles"]
+    theta = np.arctan2(angles[:, 1], angles[:, 0]) if angles.shape[-1] == 2 else angles[:, 0]
+    out = []
+    for i in range(len(b["class_labels"])):
+        label = class_labels[int(b["class_labels"][i].argmax())]
+        obj = objects_dataset.get_closest_furniture_to_box(label, b["sizes"][i])
+        v, f = obj.raw_model()
+        v = v * getattr(obj, "scale", 1.0)
+        out.append(SceneMesh(
+            vertices=_transform_vertices(v, theta[i], b["translations"][i]),
+            faces=f, label=label, model_jid=getattr(obj, "model_jid", None),
+            texture_path=getattr(obj, "texture_image_path", None),
+        ))
+    return out
+
+
+def get_textured_objects_based_on_objfeats(
+    boxes: Dict[str, np.ndarray], objects_dataset, class_labels: Sequence[str],
+    combine_size: bool = True,
+) -> List[SceneMesh]:
+    """Retrieve by latent shape code (optionally lexsorted with size), then
+    rescale the mesh to the predicted size.  (scene_synthesis/utils.py:80-165)
+    """
+    b = _squeeze(boxes)
+    angles = b["angles"]
+    theta = np.arctan2(angles[:, 1], angles[:, 0]) if angles.shape[-1] == 2 else angles[:, 0]
+    feats = b["objfeats"] if "objfeats" in b else b["objfeats_32"]
+    out = []
+    for i in range(len(b["class_labels"])):
+        label = class_labels[int(b["class_labels"][i].argmax())]
+        if combine_size:
+            obj = objects_dataset.get_closest_furniture_to_objfeats_and_size(
+                label, feats[i], b["sizes"][i])
+        else:
+            obj = objects_dataset.get_closest_furniture_to_objfeats(label, feats[i])
+        v, f = obj.raw_model()
+        out.append(SceneMesh(
+            vertices=_transform_vertices(v, theta[i], b["translations"][i],
+                                         target_size=b["sizes"][i]),
+            faces=f, label=label, model_jid=getattr(obj, "model_jid", None),
+            texture_path=getattr(obj, "texture_image_path", None),
+        ))
+    return out
+
+
+def floor_plan_from_scene(room, floor_textures: Sequence[str] = (),
+                          rng: Optional[np.random.Generator] = None) -> SceneMesh:
+    """Floor mesh of a cached/raw room, centered at its centroid.
+
+    (scripts/utils.py:65-181 minus the simple_3dviz renderable wrapping.)
+    Accepts anything exposing ``floor_plan`` and ``floor_plan_centroid`` —
+    a raw `Room` or a cached boxes.npz record dict.
+    """
+    if isinstance(room, dict):
+        vertices = np.asarray(room["floor_plan_vertices"])
+        faces = np.asarray(room["floor_plan_faces"])
+        centroid = np.asarray(room["floor_plan_centroid"])
+    else:
+        vertices, faces = room.floor_plan
+        centroid = room.floor_plan_centroid
+    texture = None
+    if floor_textures:
+        rng = rng or np.random.default_rng()
+        texture = floor_textures[int(rng.integers(len(floor_textures)))]
+    return SceneMesh(vertices=vertices - centroid, faces=faces,
+                     label="floor", texture_path=texture)
+
+
+def merge_meshes(meshes: Sequence[SceneMesh]) -> SceneMesh:
+    """Concatenate meshes into one (scripts/utils.py:294-329, sans open3d)."""
+    vs, fs, off = [], [], 0
+    for m in meshes:
+        vs.append(m.vertices)
+        fs.append(np.asarray(m.faces) + off)
+        off += len(m.vertices)
+    return SceneMesh(vertices=np.vstack(vs), faces=np.vstack(fs), label="scene")
+
+
+def write_obj(mesh: SceneMesh, path: str):
+    with open(path, "w") as f:
+        f.write(f"# diffuscene_tpu export: {mesh.label}\n")
+        for v in mesh.vertices:
+            f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for face in mesh.faces:
+            f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
+
+
+def export_scene(output_directory: str, meshes: Sequence[SceneMesh],
+                 names: Optional[Sequence[str]] = None) -> List[str]:
+    """One OBJ per object (scripts/utils.py:257-291)."""
+    os.makedirs(output_directory, exist_ok=True)
+    paths = []
+    for i, m in enumerate(meshes):
+        name = names[i] if names else f"object_{i:03d}.obj"
+        p = os.path.join(output_directory, name)
+        write_obj(m, p)
+        paths.append(p)
+    return paths

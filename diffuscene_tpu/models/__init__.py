@@ -8,6 +8,8 @@ from .autoencoder import (
     kl_autoencoder_loss,
 )
 from .denoiser import Unet1D
+from .factory import build_network
+from .feature_extractors import AlexNet, FrozenBatchNorm, ResNet18, get_feature_extractor
 from .scene_model import (
     ConditionNets,
     SceneDiffusion,
