@@ -39,6 +39,7 @@ class WSDense(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -49,13 +50,14 @@ class WSDense(nn.Module):
             jnp.float32,
         )
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+        # standardize in f32 for stability, then cast to the compute dtype
         mean = jnp.mean(kernel, axis=0, keepdims=True)
         var = jnp.var(kernel, axis=0, keepdims=True)
-        w = (kernel - mean) * jax.lax.rsqrt(var + eps)
-        y = jnp.einsum("...i,io->...o", x.astype(w.dtype), w)
+        w = ((kernel - mean) * jax.lax.rsqrt(var + eps)).astype(self.dtype)
+        y = jnp.einsum("...i,io->...o", x.astype(self.dtype), w)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -105,11 +107,12 @@ class Block(nn.Module):
 
     dim_out: int
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
-        x = WSDense(self.dim_out, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        x = WSDense(self.dim_out, dtype=self.dtype, name="proj")(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -126,19 +129,20 @@ class ResnetBlock(nn.Module):
     dim_out: int
     emb_dim: int = 0
     groups: int = 8
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb: Optional[jnp.ndarray] = None):
         scale_shift = None
         if self.emb_dim > 0 and emb is not None:
-            h = nn.Dense(self.dim_out * 2, name="mlp")(nn.silu(emb))
+            h = nn.Dense(self.dim_out * 2, dtype=self.dtype, name="mlp")(nn.silu(emb))
             if h.ndim == 2:
                 h = h[:, None, :]  # (B, 1, 2C) broadcast over objects
             scale_shift = (h[..., : self.dim_out], h[..., self.dim_out :])
-        h = Block(self.dim_out, groups=self.groups, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, groups=self.groups, name="block2")(h)
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block2")(h)
         if x.shape[-1] != self.dim_out:
-            x = nn.Dense(self.dim_out, name="res_conv")(x)
+            x = nn.Dense(self.dim_out, dtype=self.dtype, name="res_conv")(x)
         return h + x
 
 
@@ -152,12 +156,13 @@ class LinearAttention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda a: a.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)
         q, k, v = split(q), split(k), split(v)  # (B, H, D, N)
@@ -169,7 +174,7 @@ class LinearAttention(nn.Module):
         context = jnp.einsum("bhdn,bhen->bhde", k, v)
         out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, E, N)
         out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
-        out = nn.Dense(C, name="to_out")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(name="out_norm")(out)
 
 
@@ -178,12 +183,13 @@ class Attention(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         B, N, C = x.shape
         hidden = self.heads * self.dim_head
-        qkv = nn.Dense(hidden * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda a: a.reshape(B, N, self.heads, self.dim_head)
         q, k, v = split(q), split(k), split(v)  # (B, N, H, D)
@@ -191,7 +197,7 @@ class Attention(nn.Module):
         sim = jnp.einsum("bihd,bjhd->bhij", q, k)
         attn = jax.nn.softmax(sim, axis=-1)
         out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, hidden)
-        return nn.Dense(C, name="to_out")(out)
+        return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
 
 
 class LinearAttentionCross(nn.Module):
@@ -203,14 +209,15 @@ class LinearAttentionCross(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         B, N, C = x.shape
         L = context.shape[1]
         hidden = self.heads * self.dim_head
-        q = nn.Dense(hidden, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(hidden * 2, use_bias=False, name="to_kv")(context)
+        q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="to_kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)  # (B,H,D,N)
         k = k.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)  # (B,H,D,L)
@@ -223,7 +230,7 @@ class LinearAttentionCross(nn.Module):
         context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
         out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
         out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
-        out = nn.Dense(C, name="to_out")(out)
+        out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(name="out_norm")(out)
 
 
@@ -237,14 +244,15 @@ class AttentionCross(nn.Module):
 
     heads: int = 4
     dim_head: int = 32
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, context):
         B, N, C = x.shape
         L = context.shape[1]
         hidden = self.heads * self.dim_head
-        q = nn.Dense(hidden, use_bias=False, name="to_q")(x)
-        kv = nn.Dense(hidden * 2, use_bias=False, name="to_kv")(context)
+        q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="to_kv")(context)
         k, v = jnp.split(kv, 2, axis=-1)
         q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)
         k = k.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
@@ -255,19 +263,20 @@ class AttentionCross(nn.Module):
         context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
         out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
         out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
-        return nn.Dense(C, name="to_out")(out)
+        return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
 
 
 class _MLPEnc(nn.Module):
     """Per-attribute encoder MLP (denoise_net.py:484-493): C_in -> d -> 2d -> d."""
 
     hidden: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Dense(self.hidden, name="fc0")(x), approximate=False)
-        x = nn.gelu(nn.Dense(self.hidden * 2, name="fc1")(x), approximate=False)
-        return nn.Dense(self.hidden, name="fc2")(x)
+        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="fc0")(x), approximate=False)
+        x = nn.gelu(nn.Dense(self.hidden * 2, dtype=self.dtype, name="fc1")(x), approximate=False)
+        return nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(x)
 
 
 class _MLPDec(nn.Module):
@@ -275,12 +284,13 @@ class _MLPDec(nn.Module):
 
     hidden: int
     out: int
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Dense(self.hidden * 2, name="fc0")(x), approximate=False)
-        x = nn.gelu(nn.Dense(self.hidden, name="fc1")(x), approximate=False)
-        return nn.Dense(self.out, name="fc2")(x)
+        x = nn.gelu(nn.Dense(self.hidden * 2, dtype=self.dtype, name="fc0")(x), approximate=False)
+        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x), approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
 class Unet1D(nn.Module):
@@ -330,6 +340,7 @@ class Unet1D(nn.Module):
         B, N, C_in = x.shape
         cond_dim = self.context_dim + self.instanclass_dim
         groups = self.resnet_block_groups
+        dt = self.compute_dtype
 
         x = x.astype(self.compute_dtype)
         if context is not None:
@@ -340,24 +351,24 @@ class Unet1D(nn.Module):
         # --- per-attribute encoders (denoise_net.py:512-525) ---
         if self.seperate_all:
             bd = self.bbox_dim
-            x_bbox = _MLPEnc(self.dim, name="bbox_embedf")(x[..., :bd])
-            x_class = _MLPEnc(self.dim, name="class_embedf")(
+            x_bbox = _MLPEnc(self.dim, dtype=dt, name="bbox_embedf")(x[..., :bd])
+            x_class = _MLPEnc(self.dim, dtype=dt, name="class_embedf")(
                 x[..., bd : bd + self.class_dim]
             )
             h_sum = x_bbox + x_class
             ofs = bd + self.class_dim
             if self.objectness_dim > 0:
-                h_sum = h_sum + _MLPEnc(self.dim, name="objectness_embedf")(
+                h_sum = h_sum + _MLPEnc(self.dim, dtype=dt, name="objectness_embedf")(
                     x[..., ofs : ofs + self.objectness_dim]
                 )
                 ofs += self.objectness_dim
             if self.objfeat_dim > 0:
-                h_sum = h_sum + _MLPEnc(self.dim, name="objfeat_embedf")(
+                h_sum = h_sum + _MLPEnc(self.dim, dtype=dt, name="objfeat_embedf")(
                     x[..., ofs : ofs + self.objfeat_dim]
                 )
             x = h_sum
 
-        x = nn.Dense(self.dim, name="init_conv")(x)
+        x = nn.Dense(self.dim, dtype=dt, name="init_conv")(x)
         r = x
 
         # --- time embedding (denoise_net.py:404-422) ---
@@ -368,8 +379,8 @@ class Unet1D(nn.Module):
             )(beta)
         else:
             t_emb = sinusoidal_pos_emb(beta, self.dim)
-        t_emb = nn.Dense(time_dim, name="time_mlp_1")(t_emb.astype(self.compute_dtype))
-        t_emb = nn.Dense(time_dim, name="time_mlp_2")(nn.gelu(t_emb, approximate=False))
+        t_emb = nn.Dense(time_dim, dtype=dt, name="time_mlp_1")(t_emb.astype(self.compute_dtype))
+        t_emb = nn.Dense(time_dim, dtype=dt, name="time_mlp_2")(nn.gelu(t_emb, approximate=False))
 
         n_levels = len(self.dim_mults)
         dims = [self.dim * m for m in self.dim_mults]
@@ -380,30 +391,30 @@ class Unet1D(nn.Module):
             dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
             dim_out = self.dim * self.dim_mults[i]
             is_last = i == n_levels - 1
-            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, name=f"down{i}_block0")(x, context)
-            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, name=f"down{i}_block1")(x, t_emb)
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, name=f"down{i}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, name=f"down{i}_block1")(x, t_emb)
             skips.append(x)
             if self.text_condition:
-                a = LinearAttentionCross(name=f"down{i}_attncross")
+                a = LinearAttentionCross(dtype=dt, name=f"down{i}_attncross")
                 x = x + a(ChannelLayerNorm(name=f"down{i}_attncross_norm")(x), context_cross)
-            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, name=f"down{i}_block2")(x, t_emb)
-            x = x + LinearAttention(name=f"down{i}_attn")(
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, name=f"down{i}_block2")(x, t_emb)
+            x = x + LinearAttention(dtype=dt, name=f"down{i}_attn")(
                 ChannelLayerNorm(name=f"down{i}_attn_norm")(x)
             )
             skips.append(x)
             if is_last:
-                x = nn.Dense(dim_out, name=f"down{i}_proj")(x)
+                x = nn.Dense(dim_out, dtype=dt, name=f"down{i}_proj")(x)
             # non-last levels: Downsample is identity (denoise_net.py:67-76)
 
         mid_dim = dims[-1]
         # --- middle (denoise_net.py:443-448) ---
-        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, name="mid_block0")(x, context)
-        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, name="mid_block1")(x, t_emb)
+        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, dtype=dt, name="mid_block0")(x, context)
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, name="mid_block1")(x, t_emb)
         if self.text_condition:
-            a = LinearAttentionCross(name="mid_attncross")
+            a = LinearAttentionCross(dtype=dt, name="mid_attncross")
             x = x + a(ChannelLayerNorm(name="mid_attncross_norm")(x), context_cross)
-        x = x + Attention(name="mid_attn")(ChannelLayerNorm(name="mid_attn_norm")(x))
-        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, name="mid_block2")(x, t_emb)
+        x = x + Attention(dtype=dt, name="mid_attn")(ChannelLayerNorm(name="mid_attn_norm")(x))
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, name="mid_block2")(x, t_emb)
 
         # --- up path (denoise_net.py:450-470) ---
         for j in range(n_levels):
@@ -411,39 +422,39 @@ class Unet1D(nn.Module):
             dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
             dim_out = self.dim * self.dim_mults[i]
             is_last = j == n_levels - 1
-            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, name=f"up{j}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, name=f"up{j}_block0")(x, context)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, name=f"up{j}_block1")(x, t_emb)
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, name=f"up{j}_block1")(x, t_emb)
             if self.text_condition:
-                a = LinearAttentionCross(name=f"up{j}_attncross")
+                a = LinearAttentionCross(dtype=dt, name=f"up{j}_attncross")
                 x = x + a(ChannelLayerNorm(name=f"up{j}_attncross_norm")(x), context_cross)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, name=f"up{j}_block2")(x, t_emb)
-            x = x + LinearAttention(name=f"up{j}_attn")(
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, name=f"up{j}_block2")(x, t_emb)
+            x = x + LinearAttention(dtype=dt, name=f"up{j}_attn")(
                 ChannelLayerNorm(name=f"up{j}_attn_norm")(x)
             )
             if is_last:
-                x = nn.Dense(dim_in, name=f"up{j}_proj")(x)
+                x = nn.Dense(dim_in, dtype=dt, name=f"up{j}_proj")(x)
 
         # --- final (denoise_net.py:573-589) ---
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, name="final_res_block")(x, t_emb)
+        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, dtype=dt, name="final_res_block")(x, t_emb)
 
         if self.seperate_all:
-            out_bbox = _MLPDec(self.dim, self.bbox_dim, name="bbox_hidden2output")(x)
-            out_class = _MLPDec(self.dim, self.class_dim, name="class_hidden2output")(x)
+            out_bbox = _MLPDec(self.dim, self.bbox_dim, dtype=dt, name="bbox_hidden2output")(x)
+            out_class = _MLPDec(self.dim, self.class_dim, dtype=dt, name="class_hidden2output")(x)
             out = jnp.concatenate([out_bbox, out_class], axis=-1)
             if self.objectness_dim > 0:
                 out = jnp.concatenate(
-                    [out, _MLPDec(self.dim, self.objectness_dim, name="objectness_hidden2output")(x)],
+                    [out, _MLPDec(self.dim, self.objectness_dim, dtype=dt, name="objectness_hidden2output")(x)],
                     axis=-1,
                 )
             if self.objfeat_dim > 0:
                 out = jnp.concatenate(
-                    [out, _MLPDec(self.dim, self.objfeat_dim, name="objfeat_hidden2output")(x)],
+                    [out, _MLPDec(self.dim, self.objfeat_dim, dtype=dt, name="objfeat_hidden2output")(x)],
                     axis=-1,
                 )
         else:
             out_dim = self.out_dim if self.out_dim is not None else self.channels
-            out = nn.Dense(out_dim, name="final_conv")(x)
+            out = nn.Dense(out_dim, dtype=dt, name="final_conv")(x)
         return out.astype(jnp.float32)
