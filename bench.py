@@ -28,10 +28,12 @@ def main():
     import jax.numpy as jnp
     from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
 
+    # bf16 activations (params stay f32) + large batch: measured on v5e,
+    # bf16 B=512 gives ~99 scenes/s vs 73 at f32 B=64 (see git history)
     net_kwargs = dict(
         dim=512, dim_mults=(1, 1, 1, 1), channels=62, objectness_dim=0,
         class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
-        instanclass_dim=128, seperate_all=True,
+        instanclass_dim=128, seperate_all=True, compute_dtype=jnp.bfloat16,
     )
     cfg = SceneModelConfig(
         point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
@@ -45,7 +47,7 @@ def main():
     scene = SceneDiffusion(cfg)
     params = scene.init(jax.random.PRNGKey(0), batch_size=2)
 
-    B = 64  # scenes sampled per program
+    B = 512  # scenes sampled per program (throughput-optimal on one v5e chip)
 
     def sample(params, key):
         return scene.sample(params, key, batch_size=B, clip_denoised=True)
@@ -56,7 +58,7 @@ def main():
     out = sample_jit(params, jax.random.PRNGKey(1))
     out.block_until_ready()
 
-    n_runs = 3
+    n_runs = 2
     t0 = time.perf_counter()
     for i in range(n_runs):
         out = sample_jit(params, jax.random.PRNGKey(2 + i))

@@ -1,3 +1,3 @@
 from .ae_trainer import AETrainer, AETrainState
-from .optim import lr_schedule_factory, optimizer_factory
+from .optim import freeze_mask, lr_schedule_factory, optimizer_factory
 from .trainer import Trainer, TrainState

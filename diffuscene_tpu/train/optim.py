@@ -91,3 +91,25 @@ def optimizer_factory(
         raise NotImplementedError(name)
 
     return optax.chain(optax.clip_by_global_norm(max_grad_norm), opt)
+
+
+def freeze_mask(params, frozen_prefixes) -> "optax.GradientTransformation":
+    """Zero updates for parameter subtrees whose top-level path starts with
+    any of ``frozen_prefixes``.
+
+    Functional equivalent of the reference's ``freeze_network``
+    (frozen_batchnorm.py:71-75) / frozen text encoders: instead of mutating
+    requires_grad, wrap the optimizer with `optax.masked`.
+    Usage: ``tx = optax.chain(freeze_mask(params, ("feature_extractor",)), tx)``.
+    """
+    import jax
+
+    def mask_tree(p):
+        def walk(tree, path=()):
+            if isinstance(tree, dict):
+                return {k: walk(v, path + (k,)) for k, v in tree.items()}
+            return any(str(p0).startswith(tuple(frozen_prefixes)) for p0 in path)
+
+        return walk(p)
+
+    return optax.masked(optax.set_to_zero(), mask_tree(params))
