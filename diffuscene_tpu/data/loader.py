@@ -122,3 +122,51 @@ class DataLoader:
     def infinite(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
             yield from iter(self)
+
+
+class PackedDataLoader:
+    """High-throughput loader on the native C++ batch encoder.
+
+    Yields {'packed': (B, N, point_dim) float32} batches: the whole
+    augmentation/scaling/permutation/padding/packing pipeline runs as one
+    multithreaded native pass per batch (see native/batcher.cpp), and the
+    trainer's loss consumes the packed target directly.  Supports the
+    standard `cached_diffusion_cosin_angle_objfeatsnorm_lat32` encoding
+    family (no text); fall back to DataLoader otherwise.
+    """
+
+    def __init__(self, raw_dataset, bounds, max_length: int, n_classes: int,
+                 batch_size: int, objfeat_dim: int = 32, shuffle: bool = True,
+                 permute: bool = True, rotation: Optional[str] = "fixed_rotations",
+                 seed: int = 0, drop_last: bool = True):
+        from ..native import NativeBatchEncoder
+
+        self.raw = raw_dataset
+        self.encoder = NativeBatchEncoder(
+            bounds, max_length, n_classes, objfeat_dim,
+            permute=permute, rotation=rotation, seed=seed,
+        )
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.raw)
+        return n // self.batch_size if self.drop_last else (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        idx = np.arange(len(self.raw))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        self._epoch += 1
+        for b in range(len(self)):
+            rows = idx[b * self.batch_size : (b + 1) * self.batch_size]
+            raw = [self.raw[int(i)] for i in rows]
+            packed = self.encoder(raw, seed=self._epoch * 1_000_003 + b)
+            yield {"packed": packed}
+
+    def infinite(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield from iter(self)

@@ -339,7 +339,12 @@ class SceneDiffusion:
         """Training loss for one batch.  (diffusion_scene_layout_ddpm.py:131-226
         + diffusion_ddpm.py:758-772)."""
         cfg = self.cfg
-        target_full = pack_target(cfg, sample_params)
+        # fast path: the native C++ batcher (data/loader.py) delivers the
+        # packed (B, N, point_dim) target directly
+        if "packed" in sample_params:
+            target_full = sample_params["packed"]
+        else:
+            target_full = pack_target(cfg, sample_params)
         condition, condition_cross = self._conditions_from_batch(params, sample_params, target_full)
 
         if cfg.room_arrange_condition:

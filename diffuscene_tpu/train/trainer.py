@@ -96,6 +96,7 @@ class Trainer:
         device_keys = {
             "translations", "sizes", "angles", "class_labels", "objectness",
             "objfeats", "objfeats_32", "room_feat", "text_emb", "room_layout",
+            "packed",
         }
         out = {}
         for k, v in batch.items():
