@@ -371,7 +371,29 @@ class SceneDiffusion:
         return losses.mean(), loss_dict
 
     # ------------------------------------------------------------------
-    def _denoise_fn(self, params, condition, condition_cross):
+    def _denoise_fn(self, params, condition, condition_cross, fused: bool = False):
+        if fused:
+            # serving path: fused Pallas resblocks + once-per-call weight
+            # standardization (models/inference.py)
+            from .inference import fused_unet1d_forward, prepare_inference_params
+
+            net = self.net.denoiser if hasattr(self.net, "denoiser") else None
+            # reconstruct the Unet1D config module (setup() fields)
+            net_kwargs = dict(self.cfg.net_kwargs)
+            known = set(Unet1D.__dataclass_fields__.keys())
+            net_kwargs = {k: v for k, v in net_kwargs.items() if k in known}
+            net_kwargs.setdefault("text_condition", self.cfg.text_condition)
+            net_kwargs.setdefault("text_dim", self.cfg.text_embed_dim)
+            if "dim_mults" in net_kwargs:
+                net_kwargs["dim_mults"] = tuple(net_kwargs["dim_mults"])
+            unet = Unet1D(**net_kwargs)
+            inf_params = prepare_inference_params(unet, params["params"]["denoiser"])
+
+            def fn(x, t):
+                return fused_unet1d_forward(unet, inf_params, x, t, condition, condition_cross)
+
+            return fn
+
         def fn(x, t):
             return self.net.apply(
                 params, x, t, condition, condition_cross, method=SceneNetworks.denoise
@@ -392,6 +414,7 @@ class SceneDiffusion:
         freq: int = 100,
         ddim: bool = False,
         ddim_steps: int = 50,
+        fused: bool = False,
     ) -> jnp.ndarray:
         """Unified sampling entry (diffusion_scene_layout_ddpm.py:228-310)."""
         cfg = self.cfg
@@ -412,7 +435,7 @@ class SceneDiffusion:
         condition, condition_cross = self.net.apply(
             params, batch_size, N, method=SceneNetworks.make_condition, **kwargs
         )
-        fn = self._denoise_fn(params, condition, condition_cross)
+        fn = self._denoise_fn(params, condition, condition_cross, fused=fused)
         shape = (batch_size, N, D)
         mmt, mvt = cfg.model_mean_type, cfg.model_var_type
 

@@ -1,0 +1,181 @@
+"""Fused ResNet-block Pallas kernel: matmul+GN+FiLM+SiLU x2 + residual.
+
+The sampling hot loop is the Unet1D forward (SURVEY.md §3.2); measured on
+v5e, the unfused XLA path costs ~5.5 ms/step at B=512 against a ~0.6 ms
+matmul roofline — the gap is HBM round-trips between the many small
+norm/modulation/activation ops.  This kernel executes one whole ResnetBlock
+(denoise_net.py:178-206 semantics, as implemented in models/denoiser.py):
+
+    h  = silu(GN(x @ w1 + b1) * (film_scale + 1) + film_shift)
+    h  = silu(GN(h @ w2 + b2))
+    out = h + (x  or  x @ w_res)
+
+in a single VMEM pass per row tile: two MXU matmuls with f32 accumulation,
+GroupNorm realized as two tiny matmuls against a one-hot group matrix (no
+lane-crossing reshapes), FiLM/SiLU on the VPU.  Weights stay VMEM-resident
+across the row grid (constant block index -> Mosaic skips the re-DMA).
+
+Weights must be pre-standardized (weight standardization is a pure function
+of the kernel; `models/inference.py` does it once per sampling call instead
+of once per step).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _group_matrices(C: int, groups: int, dtype):
+    """One-hot group matrix G (C, groups)/group_size and its broadcast
+    transpose (groups, C), built from iota (no host constants)."""
+    group_size = C // groups
+    lane = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 0) // group_size
+    grp = jax.lax.broadcasted_iota(jnp.int32, (C, groups), 1)
+    G = (lane == grp).astype(dtype)
+    return G / group_size, G.T
+
+
+def _scene_matrices(tile_m: int, n_per_scene: int, dtype):
+    """Scene-membership one-hot S (n_scenes, tile_m) and its transpose,
+    assuming the tile starts at a scene boundary (tile_m % n_per_scene == 0)."""
+    n_scenes = tile_m // n_per_scene
+    row = jax.lax.broadcasted_iota(jnp.int32, (n_scenes, tile_m), 1) // n_per_scene
+    sc = jax.lax.broadcasted_iota(jnp.int32, (n_scenes, tile_m), 0)
+    S = (row == sc).astype(dtype)
+    return S, S.T
+
+
+def _groupnorm(h, groups: int, n_per_scene: int, eps: float, scale, bias):
+    """GroupNorm matching torch/flax semantics on (B, N, C) inputs: the
+    statistics reduce over BOTH the group's channels and the N object
+    positions of each scene.  All reductions ride the MXU as one-hot
+    matmuls — no lane- or sublane-crossing reshapes.
+
+    h: (tile_m, C) f32 with whole scenes per tile.  scale/bias: (1, C).
+    """
+    C = h.shape[-1]
+    Gm, Gt = _group_matrices(C, groups, h.dtype)
+    S, St = _scene_matrices(h.shape[0], n_per_scene, h.dtype)
+    hG = jnp.dot(h, Gm, preferred_element_type=jnp.float32)          # (M, g)
+    h2G = jnp.dot(h * h, Gm, preferred_element_type=jnp.float32)
+    mean_sg = jnp.dot(S, hG, preferred_element_type=jnp.float32) / n_per_scene
+    e2_sg = jnp.dot(S, h2G, preferred_element_type=jnp.float32) / n_per_scene
+    var_sg = e2_sg - mean_sg * mean_sg
+    mean = jnp.dot(jnp.dot(St, mean_sg, preferred_element_type=jnp.float32), Gt,
+                   preferred_element_type=jnp.float32)               # (M, C)
+    var = jnp.dot(jnp.dot(St, var_sg, preferred_element_type=jnp.float32), Gt,
+                  preferred_element_type=jnp.float32)
+    inv = jax.lax.rsqrt(var + eps)
+    return (h - mean) * inv * scale + bias
+
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _resblock_kernel(x_ref, film_ref, w1_ref, b1_ref, g1s_ref, g1b_ref,
+                     w2_ref, b2_ref, g2s_ref, g2b_ref, wres_ref, bres_ref, out_ref,
+                     *, groups: int, n_per_scene: int, eps: float, has_res_proj: bool):
+    x = x_ref[:]
+    C = w1_ref.shape[-1]
+    h = jnp.dot(x, w1_ref[:], preferred_element_type=jnp.float32) + b1_ref[:]
+    h = _groupnorm(h, groups, n_per_scene, eps, g1s_ref[:], g1b_ref[:])
+    film = film_ref[:]
+    h = h * (film[:, :C] + 1.0) + film[:, C:]
+    h = _silu(h)
+    h = jnp.dot(h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32) + b2_ref[:]
+    h = _groupnorm(h, groups, n_per_scene, eps, g2s_ref[:], g2b_ref[:])
+    h = _silu(h)
+    if has_res_proj:
+        res = jnp.dot(x, wres_ref[:], preferred_element_type=jnp.float32) + bres_ref[:]
+    else:
+        res = x.astype(jnp.float32)[:, :C]
+    out_ref[:] = (h + res).astype(out_ref.dtype)
+
+
+def fused_resnet_block(
+    x: jnp.ndarray,            # (M, C_in)
+    film: jnp.ndarray,         # (M, 2*C) FiLM scale/shift rows
+    w1: jnp.ndarray,           # (C_in, C) pre-standardized
+    b1: jnp.ndarray,           # (C,)
+    gn1_scale: jnp.ndarray, gn1_bias: jnp.ndarray,   # (C,)
+    w2: jnp.ndarray,           # (C, C) pre-standardized
+    b2: jnp.ndarray,
+    gn2_scale: jnp.ndarray, gn2_bias: jnp.ndarray,
+    w_res: Optional[jnp.ndarray] = None,  # (C_in, C) when C_in != C
+    b_res: Optional[jnp.ndarray] = None,  # (C,)
+    n_per_scene: int = 1,  # objects per scene (GN statistics span the scene)
+    groups: int = 8,
+    eps: float = 1e-6,
+    tile_m: int = 1024,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    M, C_in = x.shape
+    C = w1.shape[-1]
+    has_res_proj = w_res is not None
+    if not has_res_proj:
+        assert C_in == C, (C_in, C)
+        w_res = jnp.zeros((8, C), compute_dtype)  # placeholder block
+    if b_res is None:
+        b_res = jnp.zeros((C,), jnp.float32)
+
+    # pad rows to a whole number of tiles (sliced off at the end); tiles
+    # start at scene boundaries and hold whole scenes so GN stats are local
+    base = _lcm(n_per_scene, 16)
+    tile_m = base * max(1, tile_m // base)
+    tile_m = min(tile_m, _round_up(M, base))
+    Mp = _round_up(M, tile_m)
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+        film = jnp.pad(film, ((0, Mp - M), (0, 0)))
+
+    row = lambda a: a.reshape(1, -1).astype(jnp.float32)
+    kernel = functools.partial(
+        _resblock_kernel, groups=groups, n_per_scene=n_per_scene, eps=eps,
+        has_res_proj=has_res_proj,
+    )
+    const = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    grid = (Mp // tile_m,)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_m, C_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, 2 * C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            const(w1.shape), const((1, C)), const((1, C)), const((1, C)),
+            const(w2.shape), const((1, C)), const((1, C)), const((1, C)),
+            const(w_res.shape), const((1, C)),
+        ],
+        out_specs=pl.BlockSpec((tile_m, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, C), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x, film.astype(x.dtype),
+        w1.astype(compute_dtype), row(b1), row(gn1_scale), row(gn1_bias),
+        w2.astype(compute_dtype), row(b2), row(gn2_scale), row(gn2_bias),
+        w_res.astype(compute_dtype), row(b_res),
+    )
+    return out[:M] if Mp != M else out
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _lcm(a: int, b: int) -> int:
+    import math
+
+    return a * b // math.gcd(a, b)
+
+
+def standardize_kernel(kernel: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Weight standardization over the input axis (WSDense semantics,
+    models/denoiser.py) — precomputed once per inference call."""
+    mean = jnp.mean(kernel, axis=0, keepdims=True)
+    var = jnp.var(kernel, axis=0, keepdims=True)
+    return (kernel - mean) * jax.lax.rsqrt(var + eps)

@@ -1,0 +1,112 @@
+"""Fused inference engine vs Flax Unet1D parity (interpreter-mode Pallas on
+CPU), plus the fused end-to-end sample path."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig, Unet1D
+from diffuscene_tpu.models.inference import (
+    fused_unet1d_forward, prepare_inference_params,
+)
+from diffuscene_tpu.ops.fused_resblock import fused_resnet_block, standardize_kernel
+
+
+def test_fused_resblock_matches_flax_block():
+    """One fused kernel vs the Flax ResnetBlock on identical params."""
+    from diffuscene_tpu.models.denoiser import ResnetBlock
+
+    B, N, C = 2, 12, 64
+    M = B * N
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, C)), jnp.float32)
+    emb = jnp.asarray(rng.normal(0, 1, (B, N, 48)), jnp.float32)
+
+    block = ResnetBlock(C, emb_dim=48, groups=8)
+    params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+    want = block.apply({"params": params}, x, emb)
+
+    p = jax.tree.map(lambda a: a, params)
+    film = jnp.dot(jax.nn.silu(emb.reshape(M, -1)), p["mlp"]["kernel"]) + p["mlp"]["bias"]
+    got = fused_resnet_block(
+        x.reshape(M, C), film,
+        w1=standardize_kernel(p["block1"]["proj"]["kernel"]),
+        b1=p["block1"]["proj"]["bias"],
+        gn1_scale=p["block1"]["norm"]["scale"], gn1_bias=p["block1"]["norm"]["bias"],
+        w2=standardize_kernel(p["block2"]["proj"]["kernel"]),
+        b2=p["block2"]["proj"]["bias"],
+        gn2_scale=p["block2"]["norm"]["scale"], gn2_bias=p["block2"]["norm"]["bias"],
+        n_per_scene=N,
+        compute_dtype=jnp.float32,
+    ).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_resblock_res_proj():
+    """C_in != C_out path (up-blocks after skip concat)."""
+    from diffuscene_tpu.models.denoiser import ResnetBlock
+
+    B, N, Cin, C = 2, 8, 48, 24
+    M = B * N
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, Cin)), jnp.float32)
+    emb = jnp.asarray(rng.normal(0, 1, (B, N, 16)), jnp.float32)
+    block = ResnetBlock(C, emb_dim=16, groups=8)
+    params = block.init(jax.random.PRNGKey(0), x, emb)["params"]
+    want = block.apply({"params": params}, x, emb)
+    film = jnp.dot(jax.nn.silu(emb.reshape(M, -1)), params["mlp"]["kernel"]) + params["mlp"]["bias"]
+    got = fused_resnet_block(
+        x.reshape(M, Cin), film,
+        w1=standardize_kernel(params["block1"]["proj"]["kernel"]),
+        b1=params["block1"]["proj"]["bias"],
+        gn1_scale=params["block1"]["norm"]["scale"], gn1_bias=params["block1"]["norm"]["bias"],
+        w2=standardize_kernel(params["block2"]["proj"]["kernel"]),
+        b2=params["block2"]["proj"]["bias"],
+        gn2_scale=params["block2"]["norm"]["scale"], gn2_bias=params["block2"]["norm"]["bias"],
+        w_res=params["res_conv"]["kernel"],
+        b_res=params["res_conv"]["bias"],
+        n_per_scene=N,
+        compute_dtype=jnp.float32,
+    ).reshape(B, N, C)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+@pytest.mark.parametrize("text", [False, True])
+def test_fused_forward_matches_flax(text):
+    net = Unet1D(
+        dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0, class_dim=22,
+        translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
+        context_dim=0, instanclass_dim=16, seperate_all=True,
+        text_condition=text, text_dim=24, compute_dtype=jnp.float32,
+    )
+    B, N, D = 2, 12, 62
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, D)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.normal(0, 1, (B, N, 16)), jnp.float32)
+    cc = jnp.asarray(rng.normal(0, 1, (B, 10, 24)), jnp.float32) if text else None
+
+    variables = net.init(jax.random.PRNGKey(0), x, t, ctx, cc)
+    want = net.apply(variables, x, t, ctx, cc)
+    inf = prepare_inference_params(net, variables["params"])
+    got = fused_unet1d_forward(net, inf, x, t, ctx, cc)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
+
+
+def test_fused_sample_path():
+    nk = dict(dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0,
+              class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
+              instanclass_dim=16, seperate_all=True)
+    cfg = SceneModelConfig(
+        point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
+        objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
+        instance_condition=True, learnable_embedding=True, instance_emb_dim=16,
+        model_mean_type="v", time_num=6, net_kwargs=tuple(sorted(nk.items())))
+    scene = SceneDiffusion(cfg)
+    params = scene.init(jax.random.PRNGKey(0))
+    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True))(
+        params, jax.random.PRNGKey(1))
+    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True,
+                                              fused=True))(params, jax.random.PRNGKey(1))
+    assert fused.shape == ref.shape == (2, 12, 62)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
