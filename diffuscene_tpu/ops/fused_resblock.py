@@ -1,10 +1,8 @@
 """Fused ResNet-block Pallas kernel: matmul+GN+FiLM+SiLU x2 + residual.
 
-The sampling hot loop is the Unet1D forward (SURVEY.md §3.2); measured on
-v5e, the unfused XLA path costs ~5.5 ms/step at B=512 against a ~0.6 ms
-matmul roofline — the gap is HBM round-trips between the many small
-norm/modulation/activation ops.  This kernel executes one whole ResnetBlock
-(denoise_net.py:178-206 semantics, as implemented in models/denoiser.py):
+The sampling hot loop is the Unet1D forward (SURVEY.md §3.2).  This kernel
+executes one whole ResnetBlock (denoise_net.py:178-206 semantics, as
+implemented in models/denoiser.py):
 
     h  = silu(GN(x @ w1 + b1) * (film_scale + 1) + film_shift)
     h  = silu(GN(h @ w2 + b2))
@@ -18,6 +16,14 @@ across the row grid (constant block index -> Mosaic skips the re-DMA).
 Weights must be pre-standardized (weight standardization is a pure function
 of the kernel; `models/inference.py` does it once per sampling call instead
 of once per step).
+
+Measured reality check (v5e, B=512, C=512): two bare (6144x512)@(512x512)
+bf16 matmuls already cost ~196 us in a scan (~33 TFLOP/s sustained at this
+shape), so the unfused XLA forward (~5.5 ms/step ~= 50 matmuls) is ~90% of
+the machine rate and this kernel is at parity per block (~420 vs ~390 us),
+not faster — the engine stays opt-in (`sample(..., fused=True)`).  It
+becomes the right tool when the denoiser grows (larger dim / more objects)
+or on hardware where elementwise fusion, not matmul issue rate, limits.
 """
 from __future__ import annotations
 
@@ -112,7 +118,7 @@ def fused_resnet_block(
     n_per_scene: int = 1,  # objects per scene (GN statistics span the scene)
     groups: int = 8,
     eps: float = 1e-6,
-    tile_m: int = 1024,
+    tile_m: int = 256,
     compute_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
     M, C_in = x.shape
