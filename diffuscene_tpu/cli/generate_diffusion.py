@@ -27,6 +27,8 @@ def main(argv=None):
     parser.add_argument("--clip_denoised", action="store_true")
     parser.add_argument("--ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fused Pallas inference engine")
     parser.add_argument("--retrive_objfeats", action="store_true",
                         help="retrieve meshes by latent shape codes")
     parser.add_argument("--path_to_pickled_3d_futute_models", default=None)
@@ -93,7 +95,8 @@ def main(argv=None):
     def sample_batch(params, key, text_emb=None):
         return scene.sample(params, key, batch_size=args.batch_size,
                             text_emb=text_emb, clip_denoised=args.clip_denoised,
-                            ddim=args.ddim, ddim_steps=args.ddim_steps)
+                            ddim=args.ddim, ddim_steps=args.ddim_steps,
+                            fused=args.fused)
 
     all_boxes = []
     n_done = 0

@@ -25,6 +25,9 @@ def main(argv=None):
     parser.add_argument("--seed", type=int, default=27)
     parser.add_argument("--epochs", type=int, default=None, help="override config epochs")
     parser.add_argument("--with_wandb_logger", action="store_true")
+    parser.add_argument("--native_loader", action="store_true",
+                        help="use the C++ fused batch encoder (uncond diffusion "
+                        "encodings only; delivers packed targets)")
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded, get_encoded_dataset
@@ -66,7 +69,20 @@ def main(argv=None):
     scene = SceneDiffusion(cfg, bounds=bounds if cfg.loss_config.loss_iou else None)
 
     batch_size = int(config["training"].get("batch_size", 128))
-    train_loader = DataLoader(train_ds, batch_size, shuffle=True, seed=args.seed)
+    if args.native_loader:
+        from ..data.loader import PackedDataLoader
+
+        enc_name = config["data"]["encoding_type"]
+        assert "text" not in enc_name, "native loader does not cover text encodings"
+        train_loader = PackedDataLoader(
+            train_raw, train_ds.bounds, max_length=train_ds.max_length,
+            n_classes=train_ds.n_classes, batch_size=batch_size,
+            rotation="fixed_rotations" if "fixed_rotations" in
+            (config["data"].get("augmentations") or []) else None,
+            seed=args.seed,
+        )
+    else:
+        train_loader = DataLoader(train_ds, batch_size, shuffle=True, seed=args.seed)
     # drop_last so every eval batch shards evenly over the device mesh
     val_loader = DataLoader(val_ds, int(config["validation"].get("batch_size", batch_size)),
                             shuffle=False, drop_last=True)

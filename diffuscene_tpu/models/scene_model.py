@@ -470,6 +470,34 @@ class SceneDiffusion:
         return S.p_sample_loop(self.sched, mmt, mvt, fn, shape, key, clip_denoised)
 
     # ------------------------------------------------------------------
+    def prior_kl(self, x0: jnp.ndarray) -> jnp.ndarray:
+        """KL(q(x_T|x_0) || N(0,I)) in bits/dim.  (diffusion_ddpm.py:735-736)"""
+        from ..diffusion.gaussian import prior_bpd
+
+        return prior_bpd(self.sched, x0)
+
+    def all_kl(self, params, x0: jnp.ndarray, key: jax.Array,
+               sample_params: Optional[Dict[str, jnp.ndarray]] = None,
+               clip_denoised: bool = True) -> Dict[str, jnp.ndarray]:
+        """Full variational-bound sweep (DiffusionPoint.all_kl,
+        diffusion_ddpm.py:738-746)."""
+        from ..diffusion.samplers import calc_bpd_loop
+
+        condition, condition_cross = (None, None)
+        if sample_params is not None:
+            condition, condition_cross = self._conditions_from_batch(
+                params, sample_params, x0)
+        else:
+            condition, condition_cross = self.net.apply(
+                params, x0.shape[0], x0.shape[1], method=SceneNetworks.make_condition)
+        fn = self._denoise_fn(params, condition, condition_cross)
+        total, terms, prior, mse = calc_bpd_loop(
+            self.sched, self.cfg.model_mean_type, self.cfg.model_var_type,
+            fn, x0, key, clip_denoised)
+        return {"total_bpd_b": total, "terms_bpd": terms,
+                "prior_bpd_b": prior, "mse_bt": mse}
+
+    # ------------------------------------------------------------------
     def split_samples(self, samples: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         """Split packed samples into attribute dict + objectness mask (vectorized).
 

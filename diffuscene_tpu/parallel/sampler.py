@@ -22,7 +22,7 @@ class ShardedSampler:
     """Jitted, mesh-sharded wrapper over SceneDiffusion.sample."""
 
     def __init__(self, scene: SceneDiffusion, mesh=None, clip_denoised: bool = True,
-                 ddim: bool = False, ddim_steps: int = 50):
+                 ddim: bool = False, ddim_steps: int = 50, fused: bool = False):
         self.scene = scene
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_data = self.mesh.shape["data"]
@@ -32,6 +32,7 @@ class ShardedSampler:
         self.clip_denoised = clip_denoised
         self.ddim = ddim
         self.ddim_steps = ddim_steps
+        self.fused = fused
 
     def _fn(self, batch_size: int):
         fn = self._fns.get(batch_size)
@@ -40,7 +41,7 @@ class ShardedSampler:
                 return self.scene.sample(
                     params, key, batch_size=batch_size, text_emb=text_emb,
                     clip_denoised=self.clip_denoised,
-                    ddim=self.ddim, ddim_steps=self.ddim_steps,
+                    ddim=self.ddim, ddim_steps=self.ddim_steps, fused=self.fused,
                 )
 
             fn = jax.jit(
