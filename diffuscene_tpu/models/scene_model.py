@@ -236,6 +236,8 @@ class SceneNetworks(nn.Module):
     cfg: SceneModelConfig
     room_feature_size: int = 64
 
+    feature_extractor_name: str = "resnet18"
+
     def setup(self):
         net_kwargs = dict(self.cfg.net_kwargs)
         # reference passes net_kwargs straight into Unet1D (diffusion_scene_layout_ddpm.py:60)
@@ -245,23 +247,45 @@ class SceneNetworks(nn.Module):
         net_kwargs.setdefault("text_dim", self.cfg.text_embed_dim)
         if "dim_mults" in net_kwargs:
             net_kwargs["dim_mults"] = tuple(net_kwargs["dim_mults"])
+        if isinstance(net_kwargs.get("compute_dtype"), str):
+            # YAML configs name the dtype ("bfloat16" / "float32")
+            net_kwargs["compute_dtype"] = {
+                "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+                "float32": jnp.float32, "f32": jnp.float32,
+            }[net_kwargs["compute_dtype"]]
         self.denoiser = Unet1D(**net_kwargs)
         self.conditioner = ConditionNets(self.cfg, self.room_feature_size)
+        if self.cfg.room_mask_condition:
+            # room-mask encoder (diffusion_scene_layout_ddpm.py:27-33 +
+            # feature_extractors.py) — frozen-BN ResNet18/AlexNet
+            from .feature_extractors import get_feature_extractor
+
+            self.feature_extractor = get_feature_extractor(
+                self.feature_extractor_name, feature_size=self.room_feature_size,
+                input_channels=1,
+            )
+
+    def extract_room_feat(self, room_layout):
+        """(B, 1, H, W) or (B, H, W, 1) room mask -> (B, F) features."""
+        return self.feature_extractor(room_layout)
 
     def denoise(self, x, t, condition, condition_cross):
         return self.denoiser(x, t, condition, condition_cross)
 
     def make_condition(self, batch_size, num_points, room_feat=None, text_emb=None,
-                       partial_input=None, arrange_input=None):
+                       partial_input=None, arrange_input=None, room_layout=None):
+        if room_feat is None and room_layout is not None and self.cfg.room_mask_condition:
+            room_feat = self.extract_room_feat(room_layout)
         return self.conditioner(
             batch_size, num_points, room_feat, text_emb, partial_input, arrange_input
         )
 
     def __call__(self, x, t, batch_size, num_points, room_feat=None, text_emb=None,
-                 partial_input=None, arrange_input=None):
+                 partial_input=None, arrange_input=None, room_layout=None):
         """Init-friendly combined path (used for parameter initialization)."""
         condition, condition_cross = self.make_condition(
-            batch_size, num_points, room_feat, text_emb, partial_input, arrange_input
+            batch_size, num_points, room_feat, text_emb, partial_input, arrange_input,
+            room_layout=room_layout,
         )
         return self.denoise(x, t, condition, condition_cross)
 
@@ -298,7 +322,7 @@ class SceneDiffusion:
         t = jnp.zeros((batch_size,), jnp.int32)
         kwargs = {}
         if cfg.room_mask_condition:
-            kwargs["room_feat"] = jnp.zeros((batch_size, self.net.room_feature_size), jnp.float32)
+            kwargs["room_layout"] = jnp.zeros((batch_size, 64, 64, 1), jnp.float32)
         if cfg.text_condition:
             tdim = 50 if cfg.text_glove_embedding else (512 if cfg.text_clip_embedding else 768)
             kwargs["text_emb"] = jnp.zeros((batch_size, 16, tdim), jnp.float32)
@@ -320,7 +344,10 @@ class SceneDiffusion:
         B, N = target.shape[0], cfg.sample_num_points
         kwargs = {}
         if cfg.room_mask_condition:
-            kwargs["room_feat"] = sample_params["room_feat"]
+            if "room_feat" in sample_params:
+                kwargs["room_feat"] = sample_params["room_feat"]
+            else:
+                kwargs["room_layout"] = sample_params["room_layout"]
         if cfg.text_condition:
             kwargs["text_emb"] = sample_params["text_emb"]
         if cfg.room_partial_condition:
@@ -406,6 +433,7 @@ class SceneDiffusion:
         key: jax.Array,
         batch_size: int,
         room_feat=None,
+        room_layout=None,
         text_emb=None,
         partial_boxes=None,
         input_boxes=None,
@@ -422,6 +450,9 @@ class SceneDiffusion:
         kwargs = {}
         if cfg.room_mask_condition:
             kwargs["room_feat"] = room_feat
+            if room_feat is None and room_layout is not None:
+                kwargs["room_layout"] = room_layout
+                kwargs.pop("room_feat")
         if cfg.text_condition:
             kwargs["text_emb"] = text_emb
         if cfg.room_partial_condition and partial_boxes is not None:

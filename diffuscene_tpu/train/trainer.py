@@ -46,7 +46,23 @@ class Trainer:
         self.scene = scene
         self.training_cfg = training_cfg
         self.steps_per_epoch = steps_per_epoch
-        self.tx = optimizer_factory(training_cfg, steps_per_epoch)
+        tx = optimizer_factory(training_cfg, steps_per_epoch)
+
+        # the scene variables may include a 'batch_stats' collection (frozen
+        # BatchNorm statistics of the room-mask extractor); zero their
+        # updates so "frozen" means frozen even though jax.grad produces
+        # gradients for them
+        def _frozen_stats_mask(tree):
+            def walk(t, frozen):
+                if isinstance(t, dict):
+                    return {k: walk(v, frozen or k == "batch_stats") for k, v in t.items()}
+                return frozen
+
+            return walk(tree, False)
+
+        self.tx = optax.chain(
+            optax.masked(optax.set_to_zero(), _frozen_stats_mask), tx
+        )
         self.lr_schedule = lr_schedule_factory(training_cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
 
