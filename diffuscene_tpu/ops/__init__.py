@@ -9,3 +9,5 @@ from .chamfer import (
 )
 from .iou3d import axis_aligned_bbox_overlaps_3d
 from .knn import gather_neighbors, knn_indices
+from .attention import fused_set_attention
+from .fused_resblock import fused_resnet_block, standardize_kernel
