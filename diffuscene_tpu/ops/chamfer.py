@@ -8,11 +8,12 @@ indices; its backward kernel scatters gradients into both clouds via
 atomicAdd (`chamfer3D.cu:155-174`).
 
 Design here:
-- forward: a Pallas kernel gridded over (batch, N-tiles).  Each program holds
-  one x tile and the full (padded) y cloud in VMEM and sweeps y in TILE_M
-  chunks with an on-chip running (min, argmin).  The pairwise squared
-  distances are formed as ||x||^2 + ||y||^2 - 2 x.yT so the inner product
-  rides the MXU; D is zero-padded to the lane-friendly 8.
+- forward: a Pallas kernel gridded over N-tiles (batch handled by a static
+  in-kernel loop so output blocks satisfy the TPU (8, 128) block rule).
+  Each program holds its x tiles and the full (padded) y cloud in VMEM and
+  sweeps y in TILE_M chunks with an on-chip running (min, argmin).  The
+  pairwise squared distances are formed as ||x||^2 + ||y||^2 - 2 x.yT so the
+  inner product rides the MXU; D is zero-padded to the lane-friendly 8.
 - backward: a custom VJP in plain JAX using the saved argmin indices —
   gather for the "own" cloud term and a scatter-add for the "other" cloud
   term, exactly mirroring the CUDA backward's double atomicAdd semantics.
@@ -63,53 +64,53 @@ def chamfer_oracle(x: jnp.ndarray, y: jnp.ndarray):
 # ---------------------------------------------------------------------------
 
 def _nn_kernel(x_ref, y_ref, dist_ref, idx_ref, *, tile_m: int, m_real: int):
-    """One (batch, x-tile) program: nearest y for every x row.
+    """One x-tile program: nearest y for every x row of every batch element.
 
-    x_ref: (TILE_N, Dp) VMEM        y_ref: (Mp, Dp) VMEM
-    dist_ref: (TILE_N,) out         idx_ref: (TILE_N,) out (int32)
+    x_ref: (B, TILE_N, Dp) VMEM     y_ref: (B, Mp, Dp) VMEM
+    dist_ref: (B, TILE_N) out       idx_ref: (B, TILE_N) out (int32)
+
+    The batch loop is a static Python range (B is a trace-time constant);
+    the y sweep is a fori_loop over TILE_M chunks with an on-chip running
+    (min, argmin).  Output blocks are (B, TILE_N) so the trailing two dims
+    satisfy the TPU (8, 128) block-divisibility rule.
     """
-    x = x_ref[:]  # (TILE_N, Dp)
-    xx = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
-    mp = y_ref.shape[0]
+    B = x_ref.shape[0]
+    tile_n = x_ref.shape[1]
+    mp = y_ref.shape[1]
     n_chunks = mp // tile_m
-    tile_n = x.shape[0]
 
-    def body(c, carry):
-        best_d, best_i = carry
-        yb = y_ref[pl.ds(c * tile_m, tile_m), :]  # (TILE_M, Dp)
-        yy = jnp.sum(yb * yb, axis=-1)[None, :]  # (1, TILE_M)
-        xy = jnp.dot(x, yb.T, preferred_element_type=jnp.float32)
-        d = xx + yy - 2.0 * xy  # (TILE_N, TILE_M)
-        # mask padded y rows so they never win the min
-        col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + c * tile_m
-        d = jnp.where(col < m_real, d, _BIG)
-        chunk_d = jnp.min(d, axis=1)
-        chunk_i = jnp.argmin(d, axis=1).astype(jnp.int32) + c * tile_m
-        take = chunk_d < best_d
-        return (
-            jnp.where(take, chunk_d, best_d),
-            jnp.where(take, chunk_i, best_i),
+    for b in range(B):
+        x = x_ref[b]  # (TILE_N, Dp)
+        xx = jnp.sum(x * x, axis=-1, keepdims=True)  # (TILE_N, 1)
+
+        def body(c, carry, b=b, x=x, xx=xx):
+            best_d, best_i = carry
+            yb = y_ref[b, pl.ds(c * tile_m, tile_m), :]  # (TILE_M, Dp)
+            yy = jnp.sum(yb * yb, axis=-1)[None, :]  # (1, TILE_M)
+            xy = jnp.dot(x, yb.T, preferred_element_type=jnp.float32)
+            d = xx + yy - 2.0 * xy  # (TILE_N, TILE_M)
+            # mask padded y rows so they never win the min
+            col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1) + c * tile_m
+            d = jnp.where(col < m_real, d, _BIG)
+            chunk_d = jnp.min(d, axis=1)
+            chunk_i = jnp.argmin(d, axis=1).astype(jnp.int32) + c * tile_m
+            take = chunk_d < best_d
+            return (
+                jnp.where(take, chunk_d, best_d),
+                jnp.where(take, chunk_i, best_i),
+            )
+
+        init = (
+            jnp.full((tile_n,), _BIG, jnp.float32),
+            jnp.zeros((tile_n,), jnp.int32),
         )
-
-    init = (
-        jnp.full((tile_n,), _BIG, jnp.float32),
-        jnp.zeros((tile_n,), jnp.int32),
-    )
-    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
-    dist_ref[:] = best_d
-    idx_ref[:] = best_i
+        best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+        dist_ref[b, :] = best_d
+        idx_ref[b, :] = best_i
 
 
 def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
-
-
-def _nn_kernel_wrap(x_ref, y_ref, dist_ref, idx_ref, *, tile_m, m_real):
-    # block specs carry a leading unit batch axis; squeeze it for the kernel
-    _nn_kernel(
-        x_ref.at[0], y_ref.at[0], dist_ref.at[0], idx_ref.at[0],
-        tile_m=tile_m, m_real=m_real,
-    )
 
 
 def _directed_nn(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -125,18 +126,18 @@ def _directed_nn(x: jnp.ndarray, y: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarr
     xp = jnp.zeros((B, Np, Dp), jnp.float32).at[:, :N, :D].set(x.astype(jnp.float32))
     yp = jnp.zeros((B, Mp, Dp), jnp.float32).at[:, :M, :D].set(y.astype(jnp.float32))
 
-    kernel = functools.partial(_nn_kernel_wrap, tile_m=TILE_M, m_real=M)
+    kernel = functools.partial(_nn_kernel, tile_m=TILE_M, m_real=M)
     interpret = jax.default_backend() != "tpu"
     dist, idx = pl.pallas_call(
         kernel,
-        grid=(B, Np // TILE_N),
+        grid=(Np // TILE_N,),
         in_specs=[
-            pl.BlockSpec((1, TILE_N, Dp), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Mp, Dp), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TILE_N, Dp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, Mp, Dp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE_N), lambda b, i: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda b, i: (b, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, Np), jnp.float32),
