@@ -167,6 +167,25 @@ def pack_target(cfg: SceneModelConfig, sample_params: Dict[str, jnp.ndarray]) ->
     return jnp.concatenate(parts, axis=-1)
 
 
+def build_unet1d(cfg: "SceneModelConfig") -> Unet1D:
+    """Unet1D from the config's net_kwargs (shared by the Flax module setup
+    and the fused inference engine)."""
+    net_kwargs = dict(cfg.net_kwargs)
+    known = set(Unet1D.__dataclass_fields__.keys())
+    net_kwargs = {k: v for k, v in net_kwargs.items() if k in known}
+    net_kwargs.setdefault("text_condition", cfg.text_condition)
+    net_kwargs.setdefault("text_dim", cfg.text_embed_dim)
+    if "dim_mults" in net_kwargs:
+        net_kwargs["dim_mults"] = tuple(net_kwargs["dim_mults"])
+    if isinstance(net_kwargs.get("compute_dtype"), str):
+        # YAML configs name the dtype ("bfloat16" / "float32")
+        net_kwargs["compute_dtype"] = {
+            "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
+            "float32": jnp.float32, "f32": jnp.float32,
+        }[net_kwargs["compute_dtype"]]
+    return Unet1D(**net_kwargs)
+
+
 class ConditionNets(nn.Module):
     """Trainable conditioning heads (diffusion_scene_layout_ddpm.py:27-129)."""
 
@@ -239,21 +258,8 @@ class SceneNetworks(nn.Module):
     feature_extractor_name: str = "resnet18"
 
     def setup(self):
-        net_kwargs = dict(self.cfg.net_kwargs)
         # reference passes net_kwargs straight into Unet1D (diffusion_scene_layout_ddpm.py:60)
-        known = set(Unet1D.__dataclass_fields__.keys())
-        net_kwargs = {k: v for k, v in net_kwargs.items() if k in known}
-        net_kwargs.setdefault("text_condition", self.cfg.text_condition)
-        net_kwargs.setdefault("text_dim", self.cfg.text_embed_dim)
-        if "dim_mults" in net_kwargs:
-            net_kwargs["dim_mults"] = tuple(net_kwargs["dim_mults"])
-        if isinstance(net_kwargs.get("compute_dtype"), str):
-            # YAML configs name the dtype ("bfloat16" / "float32")
-            net_kwargs["compute_dtype"] = {
-                "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16,
-                "float32": jnp.float32, "f32": jnp.float32,
-            }[net_kwargs["compute_dtype"]]
-        self.denoiser = Unet1D(**net_kwargs)
+        self.denoiser = build_unet1d(self.cfg)
         self.conditioner = ConditionNets(self.cfg, self.room_feature_size)
         if self.cfg.room_mask_condition:
             # room-mask encoder (diffusion_scene_layout_ddpm.py:27-33 +
@@ -404,16 +410,7 @@ class SceneDiffusion:
             # standardization (models/inference.py)
             from .inference import fused_unet1d_forward, prepare_inference_params
 
-            net = self.net.denoiser if hasattr(self.net, "denoiser") else None
-            # reconstruct the Unet1D config module (setup() fields)
-            net_kwargs = dict(self.cfg.net_kwargs)
-            known = set(Unet1D.__dataclass_fields__.keys())
-            net_kwargs = {k: v for k, v in net_kwargs.items() if k in known}
-            net_kwargs.setdefault("text_condition", self.cfg.text_condition)
-            net_kwargs.setdefault("text_dim", self.cfg.text_embed_dim)
-            if "dim_mults" in net_kwargs:
-                net_kwargs["dim_mults"] = tuple(net_kwargs["dim_mults"])
-            unet = Unet1D(**net_kwargs)
+            unet = build_unet1d(self.cfg)
             inf_params = prepare_inference_params(unet, params["params"]["denoiser"])
 
             def fn(x, t):
