@@ -439,6 +439,7 @@ class SceneDiffusion:
         freq: int = 100,
         ddim: bool = False,
         ddim_steps: int = 50,
+        ddim_eta: float = 0.0,
         fused: bool = False,
     ) -> jnp.ndarray:
         """Unified sampling entry (diffusion_scene_layout_ddpm.py:228-310)."""
@@ -489,7 +490,7 @@ class SceneDiffusion:
             )
         if ddim:
             return S.ddim_sample_loop(
-                self.sched, mmt, fn, shape, key, ddim_steps, 0.0, clip_denoised
+                self.sched, mmt, fn, shape, key, ddim_steps, ddim_eta, clip_denoised
             )
         if ret_traj:
             return S.p_sample_loop_trajectory(
