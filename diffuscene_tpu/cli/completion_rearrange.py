@@ -38,7 +38,7 @@ def main(argv=None):
     from ..data.factory import get_dataset_raw_and_encoded
     from ..eval.postprocess import split_network_samples
     from ..eval.render import render_scene_dict, save_image
-    from ..models.scene_model import SceneDiffusion, SceneModelConfig, pack_target
+    from ..models.scene_model import SceneDiffusion, SceneModelConfig
     from ..utils import load_config, load_checkpoint
 
     config = load_config(args.config_file)

@@ -45,7 +45,7 @@ def main(argv=None):
     from ..eval.postprocess import split_network_samples
     from ..eval.render import render_scene_dict, save_image
     from ..models.scene_model import SceneDiffusion, SceneModelConfig
-    from ..utils import load_config, load_checkpoint, load_bounds
+    from ..utils import load_config, load_checkpoint
 
     config = load_config(args.config_file)
     os.makedirs(args.output_directory, exist_ok=True)
@@ -75,7 +75,7 @@ def main(argv=None):
 
             params = convert_scene_model(load_torch_checkpoint(args.weight_file))
         else:
-            from ..train.trainer import Trainer, TrainState
+            from ..train.trainer import Trainer
 
             trainer = Trainer(scene, config["training"])
             state = trainer.init_state(jax.random.PRNGKey(args.seed))

@@ -3,8 +3,8 @@
 CLI equivalent of `scripts/pickle_threed_fucture_pointcloud.py:21-187`: per
 object, normalize the raw mesh to the unit cube, sample surface points
 (area-weighted triangle sampling in numpy, replacing trimesh.sample), and
-write ``raw_model_norm_pc.npz`` next to the model plus train/val/test lst
-files.  These feed shape-AE training.
+write ``raw_model_norm_pc.npz`` (+ optional PLY, as the reference does) next
+to the model plus train/val/test lst files.  These feed shape-AE training.
 """
 from __future__ import annotations
 
@@ -51,6 +51,8 @@ def main(argv=None):
     parser.add_argument("path_to_3d_future_dataset_directory")
     parser.add_argument("path_to_model_info")
     parser.add_argument("--n_points", type=int, default=30000)
+    parser.add_argument("--export_ply", action="store_true",
+                        help="also write raw_model_norm_pc.ply per model")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -73,6 +75,10 @@ def main(argv=None):
         v = normalize_to_unit_cube(v)
         points = sample_surface(v, f, args.n_points, rng).astype(np.float32)
         np.savez(out_path, points=points)
+        if args.export_ply:
+            from ..data.utils_io import export_pointcloud
+
+            export_pointcloud(points, out_path.replace(".npz", ".ply"), as_text=False)
         if (i + 1) % 100 == 0:
             print(f"{i + 1}/{len(models)}")
 

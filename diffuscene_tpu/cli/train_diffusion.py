@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import sys
 
 import jax
 import numpy as np
@@ -36,7 +35,7 @@ def main(argv=None):
     from ..train.trainer import Trainer
     from ..utils import (
         StatsLogger, WandB, load_config, save_bounds, save_checkpoint,
-        load_checkpoint, latest_epoch, save_experiment_params,
+        load_checkpoint, save_experiment_params,
     )
 
     config = load_config(args.config_file)

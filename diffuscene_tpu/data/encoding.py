@@ -13,7 +13,7 @@ batch is a fixed-shape (B, N, C) tensor — nothing ragged reaches the device.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
-from .encoding import EncodingPipeline, build_encoding
+from .encoding import build_encoding
 from .loader import EncodedDataset
 from .splits import CSVSplitsBuilder
 from .threed_front import MAX_LENGTH_BY_ROOM, CachedThreedFront

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import threading
 import queue as queue_mod
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

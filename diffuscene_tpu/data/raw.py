@@ -18,10 +18,10 @@ from __future__ import annotations
 import json
 import os
 import pickle
-from collections import Counter, defaultdict
+from collections import Counter
 from dataclasses import dataclass
-from functools import lru_cache, reduce
-from typing import Dict, List, Optional, Sequence
+from functools import reduce
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import json
 import os
-from functools import lru_cache
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np

@@ -14,9 +14,8 @@ object slots and C = translation(3) + size(3) + angle(1|2) + class + objectness
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from .schedule import DiffusionSchedule, extract

@@ -12,12 +12,12 @@ per-scene conditioning; it must be jit-traceable.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from .schedule import DiffusionSchedule, extract
+from .schedule import DiffusionSchedule
 from .gaussian import p_mean_variance, model_predictions, q_sample
 
 DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]

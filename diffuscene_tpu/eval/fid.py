@@ -20,7 +20,7 @@ KID: unbiased block MMD^2 with the cubic polynomial kernel
 from __future__ import annotations
 
 import os
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional
 
 import numpy as np
 

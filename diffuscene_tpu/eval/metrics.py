@@ -12,7 +12,7 @@ Equivalents of the reference eval toolkit:
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ plugged in where trimesh/simple_3dviz exist; all CLI entry points take a
 from __future__ import annotations
 
 import colorsys
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -10,8 +10,8 @@ path]) records via the numpy OBJ loader in data/raw.py; anything downstream
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Sequence, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -12,7 +12,7 @@ matmul + top_k); the training loss uses the Pallas chamfer kernel from
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ Images are NHWC (TPU-native layout; XLA maps convs to the MXU best in NHWC).
 """
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -16,7 +16,6 @@ Parity with the Flax forward is enforced by tests/test_fused_engine.py.
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

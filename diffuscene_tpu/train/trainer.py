@@ -7,9 +7,7 @@ clip, optimizer update, and metric reduction all fuse under one jit.
 """
 from __future__ import annotations
 
-import dataclasses
-import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
