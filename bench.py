@@ -78,5 +78,68 @@ def main():
     )
 
 
+def train_metric():
+    """Optional secondary benchmark: train steps/sec at the reference recipe
+    (batch 128, IoU loss).  Run with `python bench.py train`."""
+    import time
+
+    import jax
+    from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
+    from diffuscene_tpu.train import Trainer
+
+    net_kwargs = dict(
+        dim=512, dim_mults=(1, 1, 1, 1), channels=62, objectness_dim=0,
+        class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
+        instanclass_dim=128, seperate_all=True,
+    )
+    cfg = SceneModelConfig(
+        point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
+        objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
+        instance_condition=True, learnable_embedding=True, instance_emb_dim=128,
+        model_mean_type="v", time_num=1000, loss_separate=True, loss_iou=True,
+        net_kwargs=tuple(sorted(net_kwargs.items())),
+    )
+    bounds = {
+        "translations_min": np.array([-3, 0, -3], np.float32),
+        "translations_max": np.array([3, 4, 3], np.float32),
+        "sizes_min": np.full(3, 0.04, np.float32),
+        "sizes_max": np.full(3, 2.0, np.float32),
+    }
+    scene = SceneDiffusion(cfg, bounds=bounds)
+    trainer = Trainer(scene, {"optimizer": "Adam", "lr": 2e-4, "schedule": "step",
+                              "lr_step": 10000, "lr_decay": 0.5, "max_grad_norm": 10.0})
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    B = 128
+    batch = trainer.put_batch({
+        "translations": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+        "sizes": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+        "angles": rng.uniform(-1, 1, (B, 12, 2)).astype(np.float32),
+        "class_labels": (rng.integers(0, 2, (B, 12, 22)) * 2 - 1).astype(np.float32),
+        "objfeats_32": rng.normal(0, 1, (B, 12, 32)).astype(np.float32),
+    })
+    key = jax.random.PRNGKey(1)
+    for _ in range(2):  # warmup (the step compiles twice, see CLAUDE.md)
+        state, m = trainer.train_step(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    N = 100
+    t0 = time.perf_counter()
+    for _ in range(N):
+        state, m = trainer.train_step(state, batch, key)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    print(json.dumps({
+        "metric": "bedroom_train_steps_per_sec",
+        "value": round(N / dt, 3),
+        "unit": "steps/sec",
+        "vs_baseline": None,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        train_metric()
+    else:
+        main()
