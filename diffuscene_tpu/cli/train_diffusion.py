@@ -109,8 +109,18 @@ def main(argv=None):
         for b, batch in enumerate(train_loader):
             device_batch = trainer.put_batch(batch)
             state, metrics = trainer.train_step(state, device_batch, key)
+            loss = float(metrics["loss"])
+            if not np.isfinite(loss):
+                # fail fast with a recoverable state on disk instead of
+                # silently corrupting the parameters with NaN updates
+                save_checkpoint(state, experiment_dir, epoch)
+                raise RuntimeError(
+                    f"non-finite loss at epoch {epoch} batch {b}; checkpoint "
+                    f"saved to {experiment_dir} — resume with a lower lr or "
+                    "smaller max_grad_norm"
+                )
             logger.update({k: float(v) for k, v in metrics.items()})
-            logger.print_progress(epoch, b + 1, float(metrics["loss"]))
+            logger.print_progress(epoch, b + 1, loss)
         logger["lr"].value = trainer.current_lr(int(state.step))
         logger.clear()
 

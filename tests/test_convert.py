@@ -35,8 +35,12 @@ def _load_ref_denoise():
     return m
 
 
-@pytest.mark.parametrize("text_condition", [False, True])
-def test_unet1d_conversion_matches_torch(text_condition):
+@pytest.mark.parametrize("text_condition,dim,mults", [
+    (False, 32, [1, 1]),
+    (True, 32, [1, 1]),
+    (False, 64, [1, 1, 1, 1]),  # the shipped 4-level architecture
+])
+def test_unet1d_conversion_matches_torch(text_condition, dim, mults):
     import torch
 
     import jax
@@ -46,7 +50,7 @@ def test_unet1d_conversion_matches_torch(text_condition):
 
     ref = _load_ref_denoise()
     kwargs = dict(
-        dim=32, dim_mults=[1, 1], channels=62, objectness_dim=0, class_dim=22,
+        dim=dim, dim_mults=list(mults), channels=62, objectness_dim=0, class_dim=22,
         translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
         context_dim=0, instanclass_dim=16, seperate_all=True,
         text_condition=text_condition, text_dim=24,
@@ -57,7 +61,7 @@ def test_unet1d_conversion_matches_torch(text_condition):
     params = convert_denoiser(sd)
 
     jnet = Unet1D(
-        dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0, class_dim=22,
+        dim=dim, dim_mults=tuple(mults), channels=62, objectness_dim=0, class_dim=22,
         translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
         context_dim=0, instanclass_dim=16, seperate_all=True,
         text_condition=text_condition, text_dim=24,
