@@ -6,3 +6,4 @@ from .distributed import (
     initialize,
     shard_indices_for_host,
 )
+from .tp import param_shardings, shard_params

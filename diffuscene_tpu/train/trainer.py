@@ -40,10 +40,15 @@ class Trainer:
         training_cfg: Dict[str, Any],
         mesh=None,
         steps_per_epoch: int = 500,
+        tensor_parallel: bool = False,
     ):
+        """``tensor_parallel`` shards large denoiser kernels over the mesh
+        'model' axis (parallel/tp.py) instead of replicating all params —
+        GSPMD inserts the collectives; batch stays sharded over 'data'."""
         self.scene = scene
         self.training_cfg = training_cfg
         self.steps_per_epoch = steps_per_epoch
+        self.tensor_parallel = tensor_parallel
         tx = optimizer_factory(training_cfg, steps_per_epoch)
 
         # the scene variables may include a 'batch_stats' collection (frozen
@@ -89,21 +94,33 @@ class Trainer:
             metrics["loss"] = loss
             return metrics
 
-        self._train_step = jax.jit(
-            _train_step,
-            in_shardings=(rep, bsh, rep),
-            out_shardings=(rep, rep),
-            donate_argnums=(0,),
-        )
-        self._eval_step = jax.jit(_eval_step, in_shardings=(rep, bsh, rep))
+        if tensor_parallel:
+            # shardings flow from the inputs (params placed by parallel/tp.py)
+            self._train_step = jax.jit(_train_step, donate_argnums=(0,))
+            self._eval_step = jax.jit(_eval_step)
+        else:
+            self._train_step = jax.jit(
+                _train_step,
+                in_shardings=(rep, bsh, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(_eval_step, in_shardings=(rep, bsh, rep))
         self._bsh = bsh
         self._rep = rep
 
     # ------------------------------------------------------------------
     def init_state(self, key: jax.Array, batch_size: int = 2) -> TrainState:
         params = self.scene.init(key, batch_size)
-        params = jax.device_put(params, self._rep)
-        opt_state = self.tx.init(params)
+        if self.tensor_parallel:
+            from ..parallel.tp import shard_params
+
+            params = shard_params(params, self.mesh)
+            # jit so the optimizer state inherits the param shardings
+            opt_state = jax.jit(self.tx.init)(params)
+        else:
+            params = jax.device_put(params, self._rep)
+            opt_state = self.tx.init(params)
         return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
