@@ -104,11 +104,13 @@ def main(argv=None):
     while n_done < args.n_sequences:
         key, sub = jax.random.split(key)
         text_emb = None
+        descriptions = []
         if cfg.text_condition:
             embs = []
             for i in range(args.batch_size):
                 s = eval_ds[(n_done + i) % len(eval_ds)]
                 embs.append(np.asarray(s["desc_emb"], np.float32))
+                descriptions.append(s.get("description", ""))
             text_emb = np.stack(embs)
         samples = np.asarray(sample_batch(params, sub, text_emb))
         take = min(args.batch_size, args.n_sequences - n_done)
@@ -121,6 +123,11 @@ def main(argv=None):
                 floor = None
                 img = render_scene_dict(boxes, floor_mask=floor)
                 save_image(img, os.path.join(args.output_directory, f"{idx:05d}.png"))
+            if descriptions:
+                # text dump next to the render (generate_diffusion.py writes
+                # the conditioning sentence per scene)
+                with open(os.path.join(args.output_directory, f"{idx:05d}.txt"), "w") as f:
+                    f.write(descriptions[i])
             if objects_dataset is not None and args.save_mesh:
                 _export_retrieved(boxes, objects_dataset, raw.class_labels,
                                   args.retrive_objfeats,

@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--native_loader", action="store_true",
                         help="use the C++ fused batch encoder (uncond diffusion "
                         "encodings only; delivers packed targets)")
+    parser.add_argument("--log_every", type=int, default=10,
+                        help="fetch metrics to host every N batches; between "
+                        "fetches the device pipeline runs fully async")
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded, get_encoded_dataset
@@ -109,18 +112,24 @@ def main(argv=None):
         for b, batch in enumerate(train_loader):
             device_batch = trainer.put_batch(batch)
             state, metrics = trainer.train_step(state, device_batch, key)
-            loss = float(metrics["loss"])
-            if not np.isfinite(loss):
-                # fail fast with a recoverable state on disk instead of
-                # silently corrupting the parameters with NaN updates
-                save_checkpoint(state, experiment_dir, epoch)
-                raise RuntimeError(
-                    f"non-finite loss at epoch {epoch} batch {b}; checkpoint "
-                    f"saved to {experiment_dir} — resume with a lower lr or "
-                    "smaller max_grad_norm"
-                )
-            logger.update({k: float(v) for k, v in metrics.items()})
-            logger.print_progress(epoch, b + 1, loss)
+            # fetch metrics only every log_every batches, as ONE transfer —
+            # per-metric float() costs a device round-trip each, which
+            # serializes the pipeline (measured 600 ms/step vs 47 ms compute
+            # through the TPU tunnel)
+            if (b % max(args.log_every, 1)) == 0:
+                host_metrics = jax.device_get(metrics)
+                loss = float(host_metrics["loss"])
+                if not np.isfinite(loss):
+                    # fail fast with a recoverable state on disk instead of
+                    # silently corrupting the parameters with NaN updates
+                    save_checkpoint(state, experiment_dir, epoch)
+                    raise RuntimeError(
+                        f"non-finite loss at epoch {epoch} batch {b}; checkpoint "
+                        f"saved to {experiment_dir} — resume with a lower lr or "
+                        "smaller max_grad_norm"
+                    )
+                logger.update({k: float(v) for k, v in host_metrics.items()})
+                logger.print_progress(epoch, b + 1, loss)
         logger["lr"].value = trainer.current_lr(int(state.step))
         logger.clear()
 
@@ -128,7 +137,7 @@ def main(argv=None):
             save_checkpoint(state, experiment_dir, epoch)
         if (epoch % val_every) == 0:
             for b, batch in enumerate(val_loader):
-                metrics = trainer.eval_step(state, trainer.put_batch(batch), key)
+                metrics = jax.device_get(trainer.eval_step(state, trainer.put_batch(batch), key))
                 logger.update({k: float(v) for k, v in metrics.items()})
                 logger.print_progress(-1, b + 1, float(metrics["loss"]))
             logger.clear()

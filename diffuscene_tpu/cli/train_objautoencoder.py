@@ -71,8 +71,10 @@ def main(argv=None):
             idxs = order[b * batch_size : (b + 1) * batch_size]
             pts = np.stack([dataset[int(i)]["points"] for i in idxs])
             state, metrics = trainer.train_step(state, trainer.put_batch(pts), key)
-            logger.update({k: float(v) for k, v in metrics.items()})
-            logger.print_progress(epoch, b + 1, float(metrics["loss"]))
+            if (b % 10) == 0:  # one batched host fetch, not one per metric
+                host_metrics = jax.device_get(metrics)
+                logger.update({k: float(v) for k, v in host_metrics.items()})
+                logger.print_progress(epoch, b + 1, float(host_metrics["loss"]))
         logger.clear()
         if (epoch % save_every) == 0 and epoch > start_epoch:
             save_checkpoint(state, experiment_dir, epoch)
