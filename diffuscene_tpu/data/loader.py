@@ -106,10 +106,13 @@ class DataLoader:
         sentinel = object()
 
         def producer():
-            for b in range(nb):
-                batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(collate([self.dataset[int(i)] for i in batch_idx]))
-            q.put(sentinel)
+            try:
+                for b in range(nb):
+                    batch_idx = idx[b * self.batch_size : (b + 1) * self.batch_size]
+                    q.put(collate([self.dataset[int(i)] for i in batch_idx]))
+                q.put(sentinel)
+            except BaseException as e:  # surface worker errors in the consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -117,6 +120,8 @@ class DataLoader:
             item = q.get()
             if item is sentinel:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
     def infinite(self) -> Iterator[Dict[str, np.ndarray]]:
