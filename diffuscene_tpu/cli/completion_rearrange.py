@@ -54,9 +54,10 @@ def main(argv=None):
 
     net_cfg = dict(config["network"])
     net_cfg.setdefault("sample_num_points", eval_ds.max_length)
-    if not args.arrange_objects:
-        net_cfg.setdefault("room_partial_condition", True)
-        net_cfg.setdefault("partial_num_points", args.num_partial)
+    # NOTE: completion does NOT require partial-condition heads — the
+    # RePaint-style splice sampler works with the unconditional model
+    # (diffusion_ddpm.py:447-476); enable room_partial_condition only when
+    # the config (and hence the checkpoint) trained with it
     cfg = SceneModelConfig.from_config(net_cfg)
     scene = SceneDiffusion(cfg)
     params = scene.init(jax.random.PRNGKey(args.seed))
