@@ -11,6 +11,8 @@ from .fid import (
 from .ipr import PrecisionRecall, compute_ipr_folders, compute_precision_recall, knn_radii
 from .metrics import (
     bbox_iou_and_overlap_ratio,
+    computer_intersection,
+    computer_symmetry,
     categorical_kl,
     compute_intersection,
     compute_symmetry,
@@ -18,7 +20,14 @@ from .metrics import (
     scene_bboxes_from_params,
 )
 from .postprocess import one_hot_from_probs, split_network_samples
-from .render import class_colors, render_scene_dict, render_topdown, save_image
+from .render import (
+    class_colors,
+    render_scene_dict,
+    render_scene_from_bbox_params,
+    render_to_folder,
+    render_topdown,
+    save_image,
+)
 from .retrieval import (
     SceneMesh,
     export_scene,

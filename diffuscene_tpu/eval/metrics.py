@@ -139,3 +139,9 @@ def compute_symmetry(
 def scene_bboxes_from_params(translations: np.ndarray, sizes: np.ndarray) -> np.ndarray:
     """(N, 3) centers + half-extents -> (N, 6) corner boxes."""
     return np.concatenate([translations - sizes, translations + sizes], axis=-1)
+
+
+# reference-spelled aliases (scripts/utils.py:664 'computer_intersection',
+# :716 'computer_symmetry' — sic)
+computer_intersection = compute_intersection
+computer_symmetry = compute_symmetry

@@ -107,3 +107,37 @@ def save_image(img: np.ndarray, path: str):
     from PIL import Image
 
     Image.fromarray(img).save(path)
+
+
+def render_scene_from_bbox_params(boxes: Dict[str, np.ndarray], path: str,
+                                  image_size: int = 256, room_extent: float = 3.1,
+                                  floor_mask: Optional[np.ndarray] = None) -> np.ndarray:
+    """Render one scene's bbox params to a PNG and return the image.
+
+    Named for parity with the reference `render_scene_from_bbox_params`
+    (scripts/utils.py:460-556); this rasterizes oriented footprints instead
+    of retrieved textured meshes (see module docstring).
+    """
+    img = render_scene_dict(boxes, image_size=image_size,
+                            room_extent=room_extent, floor_mask=floor_mask)
+    save_image(img, path)
+    return img
+
+
+def render_to_folder(boxes_list, output_directory: str, prefix: str = "",
+                     image_size: int = 256, room_extent: float = 3.1):
+    """Render a list of per-scene bbox dicts into a folder of PNGs.
+
+    Equivalent of the reference `render_to_folder` (scripts/utils.py:361-457)
+    minus the mesh/texture machinery.  Returns the written paths.
+    """
+    import os
+
+    os.makedirs(output_directory, exist_ok=True)
+    paths = []
+    for i, boxes in enumerate(boxes_list):
+        p = os.path.join(output_directory, f"{prefix}{i:05d}.png")
+        render_scene_from_bbox_params(boxes, p, image_size=image_size,
+                                      room_extent=room_extent)
+        paths.append(p)
+    return paths
