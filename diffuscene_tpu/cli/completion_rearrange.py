@@ -32,6 +32,8 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--clip_denoised", action="store_true")
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fused serving engine (models/inference.py)")
     parser.add_argument("--render", action="store_true")
     args = parser.parse_args(argv)
 
@@ -81,12 +83,14 @@ def main(argv=None):
     @jax.jit
     def complete(params, key, partial):
         return scene.sample(params, key, batch_size=partial.shape[0],
-                            partial_boxes=partial, clip_denoised=args.clip_denoised)
+                            partial_boxes=partial, clip_denoised=args.clip_denoised,
+                            fused=args.fused)
 
     @jax.jit
     def arrange(params, key, input_boxes):
         return scene.sample(params, key, batch_size=input_boxes.shape[0],
-                            input_boxes=input_boxes, clip_denoised=args.clip_denoised)
+                            input_boxes=input_boxes, clip_denoised=args.clip_denoised,
+                            fused=args.fused)
 
     n_done = 0
     while n_done < args.n_sequences:

@@ -28,7 +28,7 @@ def main(argv=None):
     parser.add_argument("--ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
     parser.add_argument("--fused", action="store_true",
-                        help="use the fused Pallas inference engine")
+                        help="use the fused serving engine (models/inference.py)")
     parser.add_argument("--retrive_objfeats", action="store_true",
                         help="retrieve meshes by latent shape codes")
     parser.add_argument("--path_to_pickled_3d_futute_models", default=None)

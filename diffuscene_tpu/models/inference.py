@@ -1,279 +1,445 @@
-"""Fused Unet1D inference engine — the serving-path denoiser forward.
+"""Fused Unet1D serving engine — the sampling-path denoiser forward.
 
-Training uses the Flax `Unet1D` (models/denoiser.py); sampling reruns that
-forward 1000x per scene batch, so this module provides a functionally
-identical forward built on the fused Pallas ResNet-block kernel
-(ops/fused_resblock.py):
+Training uses the Flax ``Unet1D`` (models/denoiser.py); sampling reruns that
+forward 1000x per scene batch (reference p_sample_loop,
+scene_synthesis/networks/diffusion_ddpm.py:355-371), so everything that does
+not depend on the current sample ``x`` is hoisted OUT of the per-step work:
 
-- weight standardization precomputed once per sampling call
-  (`prepare_inference_params`) instead of once per step,
-- each ResnetBlock = ONE Pallas kernel (two MXU matmuls, GroupNorm via
-  one-hot-matmul reductions, FiLM + SiLU on the VPU, residual add) instead
-  of ~8 XLA ops with HBM round-trips between them,
-- attention / encoders / decoders stay plain XLA (tiny at N<=21).
+- **weight standardization** (a pure function of each WSDense kernel) is
+  computed once per sampling call, not once per scan step — XLA does not
+  reliably hoist loop-invariant standardizations out of the sampling scan;
+- **weights are pre-cast** to the compute dtype once (the Flax path converts
+  every f32 kernel to bf16 inside every step: ~65 MB of converts per step);
+- **time-FiLM tables**: the per-resblock FiLM rows ``mlp(silu(t_emb(t)))``
+  depend only on the integer timestep, so they are precomputed for ALL T
+  schedule steps as (T, 2C) tables and gathered per step — this deletes the
+  sinusoidal embedding, the two time-MLP matmuls and nine (time_dim -> 2C)
+  FiLM matmuls from every step;
+- **cond-FiLM** rows (from the per-object condition) and the **cross-attention
+  key/value context** (from the text embedding) are constant across steps and
+  are precomputed once per sampling call (`precompute_conditioning`);
+- attention uses transpose-free einsum forms (no (B,H,D,N) copies), and every
+  op runs in the compute dtype with f32 normalization statistics.
+
+The per-step forward is then: per-attribute encoders, 19 ResnetBlocks (two
+MXU matmuls each + f32 GroupNorm), 9 linear self-attentions, 1 full
+attention, per-attribute decoders — all large-batch MXU matmuls.
 
 Parity with the Flax forward is enforced by tests/test_fused_engine.py.
 """
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
 
-from ..ops.fused_resblock import fused_resnet_block, standardize_kernel
+from ..ops.fused_resblock import standardize_kernel
 from .denoiser import Unet1D, sinusoidal_pos_emb
 
+GROUPS = 8  # resnet_block_groups in every shipped config
 
-def prepare_inference_params(net: Unet1D, denoiser_params: Dict[str, Any]) -> Dict[str, Any]:
-    """Standardize every WSDense kernel (the Block 'proj' weights) once.
 
-    Returns a new params tree with the same structure; consumed by
-    `fused_unet1d_forward`.
+# ---------------------------------------------------------------------------
+# preparation: everything that is constant across sampling steps
+# ---------------------------------------------------------------------------
+
+def _tree_get(params: Dict[str, Any], name: str) -> Optional[Dict[str, Any]]:
+    return params.get(name)
+
+
+def _cast(p, dtype):
+    return jax.tree.map(lambda a: a.astype(dtype), p)
+
+
+def _std_block(p: Dict[str, Any], eps: float, dtype) -> Dict[str, Any]:
+    """Standardize a Block's WSDense kernel (f32) and cast to compute dtype."""
+    proj = {
+        "kernel": standardize_kernel(p["proj"]["kernel"], eps=eps).astype(dtype),
+        "bias": p["proj"]["bias"].astype(dtype),
+    }
+    # GroupNorm scale/bias stay f32 (stats are computed in f32)
+    return {"proj": proj, "norm": p["norm"]}
+
+
+def _prep_res(p: Dict[str, Any], ws_eps: float, dtype) -> Dict[str, Any]:
+    q = {
+        "block1": _std_block(p["block1"], ws_eps, dtype),
+        "block2": _std_block(p["block2"], ws_eps, dtype),
+    }
+    if "res_conv" in p:
+        q["res_conv"] = _cast(p["res_conv"], dtype)
+    return q
+
+
+def _time_block_names(n_levels: int):
+    names = []
+    for i in range(n_levels):
+        names += [f"down{i}_block1", f"down{i}_block2"]
+    names += ["mid_block1", "mid_block2"]
+    for j in range(n_levels):
+        names += [f"up{j}_block1", f"up{j}_block2"]
+    names += ["final_res_block"]
+    return names
+
+
+def _cond_block_names(n_levels: int):
+    names = [f"down{i}_block0" for i in range(n_levels)]
+    names += ["mid_block0"]
+    names += [f"up{j}_block0" for j in range(n_levels)]
+    return names
+
+
+def prepare_inference_params(
+    net: Unet1D,
+    denoiser_params: Dict[str, Any],
+    num_timesteps: int = 1000,
+) -> Dict[str, Any]:
+    """Build the serving parameter tree from a Flax ``Unet1D`` param tree.
+
+    Standardizes every WSDense kernel once, casts all matmul weights to the
+    compute dtype, and precomputes the per-resblock time-FiLM tables for all
+    ``num_timesteps`` integer timesteps.
     """
-    out = jax.tree.map(lambda x: x, denoiser_params)  # shallow-ish copy
+    dt = net.compute_dtype
+    p = denoiser_params
+    n_levels = len(net.dim_mults)
+    # WSDense picks its standardization eps by activation dtype
+    # (models/denoiser.py WSDense): 1e-5 in f32, 1e-3 in bf16.
+    ws_eps = 1e-5 if dt == jnp.float32 else 1e-3
 
-    def std_block(p):
-        return {**p, "proj": {**p["proj"], "kernel": standardize_kernel(p["proj"]["kernel"])}}
+    prep: Dict[str, Any] = {"blocks": {}, "film_t": {}, "misc": {}}
 
-    def std_res(p):
-        q = {**p, "block1": std_block(p["block1"]), "block2": std_block(p["block2"])}
-        return q
+    # --- time embedding table for all T steps ---
+    ts = jnp.arange(num_timesteps, dtype=jnp.int32)
+    if net.learned_sinusoidal_cond or net.random_fourier_features:
+        w = p["sinu_pos_emb"]["weights"]
+        tf = ts.astype(jnp.float32)[:, None]
+        freqs = tf * w[None, :] * 2 * math.pi
+        t_feat = jnp.concatenate([tf, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+    else:
+        t_feat = sinusoidal_pos_emb(ts, net.dim)
+    t_feat = t_feat.astype(dt)
+    t_emb = jnp.dot(t_feat, p["time_mlp_1"]["kernel"].astype(dt)) + p["time_mlp_1"]["bias"].astype(dt)
+    t_emb = jax.nn.gelu(t_emb, approximate=False)
+    t_emb = jnp.dot(t_emb, p["time_mlp_2"]["kernel"].astype(dt)) + p["time_mlp_2"]["bias"].astype(dt)
+    t_act = jax.nn.silu(t_emb)  # (T, time_dim)
 
-    names = [k for k in denoiser_params if "_block" in k or k == "final_res_block"]
-    for k in names:
-        out[k] = std_res(denoiser_params[k])
-    return out
+    for name in _time_block_names(n_levels):
+        blk = p[name]
+        prep["blocks"][name] = _prep_res(blk, ws_eps, dt)
+        # (T, 2C) FiLM table: mlp(silu(t_emb)) for every integer timestep
+        prep["film_t"][name] = (
+            jnp.dot(t_act, blk["mlp"]["kernel"].astype(dt)) + blk["mlp"]["bias"].astype(dt)
+        )
 
+    for name in _cond_block_names(n_levels):
+        blk = p[name]
+        prep["blocks"][name] = _prep_res(blk, ws_eps, dt)
+        prep["blocks"][name]["mlp"] = _cast(blk["mlp"], dt)
+
+    # --- everything else: plain weight casts ---
+    for name in list(p.keys()):
+        if name in prep["blocks"] or name in (
+            "time_mlp_1", "time_mlp_2", "sinu_pos_emb",
+        ):
+            continue
+        if name.endswith("_attn_norm") or name.endswith("_attncross_norm"):
+            prep["misc"][name] = p[name]  # LayerNorm g stays f32
+        else:
+            prep["misc"][name] = _cast(p[name], dt)
+    return prep
+
+
+def precompute_conditioning(
+    net: Unet1D,
+    prep: Dict[str, Any],
+    condition: Optional[jnp.ndarray],        # (B, N, cond_dim)
+    condition_cross: Optional[jnp.ndarray],  # (B, L, text_dim)
+) -> Dict[str, Any]:
+    """Per-sampling-call precomputes: cond-FiLM rows and cross-attn contexts."""
+    dt = net.compute_dtype
+    n_levels = len(net.dim_mults)
+    ctx: Dict[str, Any] = {"film_c": {}, "cross": {}}
+    if condition is not None:
+        c_act = jax.nn.silu(condition.astype(dt))
+        for name in _cond_block_names(n_levels):
+            mlp = prep["blocks"][name]["mlp"]
+            ctx["film_c"][name] = jnp.dot(c_act, mlp["kernel"]) + mlp["bias"]  # (B,N,2C)
+    if net.text_condition and condition_cross is not None:
+        cc = condition_cross.astype(dt)
+        names = [f"down{i}_attncross" for i in range(n_levels)]
+        names += ["mid_attncross"]
+        names += [f"up{j}_attncross" for j in range(n_levels)]
+        for name in names:
+            ap = prep["misc"][name]
+            ctx["cross"][name] = _cross_context(ap, cc)
+    return ctx
+
+
+# ---------------------------------------------------------------------------
+# per-step ops
+# ---------------------------------------------------------------------------
 
 def _dense(p, x):
-    return jnp.dot(x, p["kernel"], preferred_element_type=jnp.float32) + p.get(
-        "bias", jnp.zeros(p["kernel"].shape[-1], x.dtype)
-    )
+    y = jnp.einsum("...c,co->...o", x, p["kernel"])
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
 
 
-def _mlp_enc(p, x):
-    h = jax.nn.gelu(_dense(p["fc0"], x), approximate=False)
-    h = jax.nn.gelu(_dense(p["fc1"], h), approximate=False)
+def _mlp3(p, x, exact_gelu=False):
+    """Encoder/decoder MLP (denoise_net.py:484-504).  The exact (erf) GELU
+    lowers to a ~30-term f32 polynomial per element on TPU — measured ~0.5
+    ms/step at B=512 across the 5-6 MLPs — so serving defaults to the tanh
+    approximation (max abs deviation ~3e-3, below bf16 rounding at these
+    magnitudes); pass exact_gelu=True for bit-faithful parity checks."""
+    approx = not exact_gelu
+    h = jax.nn.gelu(_dense(p["fc0"], x), approximate=approx)
+    h = jax.nn.gelu(_dense(p["fc1"], h), approximate=approx)
     return _dense(p["fc2"], h)
 
 
-def _mlp_dec(p, x):
-    h = jax.nn.gelu(_dense(p["fc0"], x), approximate=False)
-    h = jax.nn.gelu(_dense(p["fc1"], h), approximate=False)
-    return _dense(p["fc2"], h)
+def _group_expand(g: int, C: int, dtype):
+    """(g, C) one-hot that broadcasts a per-group scalar to its C//g channels
+    via one MXU matmul (lane-dim repeats relayout badly on TPU)."""
+    grp = jax.lax.broadcasted_iota(jnp.int32, (g, C), 0)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (g, C), 1) // (C // g)
+    return (grp == ch).astype(dtype)
 
 
-def _channel_layernorm(g, x, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * g
+def _group_norm(x, norm_p, eps: float = 1e-6):
+    """GroupNorm with torch/flax semantics on (B, N, C): statistics reduce
+    over BOTH the object axis and the group's channels.
 
-
-def _linear_attention(p, x, heads=4, dim_head=32):
+    Stats are f32, but the big-tensor normalization is folded into a single
+    compute-dtype affine ``x * a + b`` so no f32 (B, N, C) intermediate is
+    ever materialized (those cost a ~30 us relayout copy each at B=512)."""
     B, N, C = x.shape
-    hidden = heads * dim_head
+    g = GROUPS
+    xf = x.astype(jnp.float32).reshape(B, N, g, C // g)
+    # one-pass moments (linen fast-variance form): a single read of the big
+    # tensor produces both E[x] and E[x^2]
+    mean = jnp.mean(xf, axis=(1, 3))            # (B, g)
+    m2 = jnp.mean(xf * xf, axis=(1, 3))
+    var = m2 - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    G = _group_expand(g, C, jnp.float32)
+    a = jnp.einsum("bg,gc->bc", inv, G) * norm_p["scale"]            # (B, C)
+    b = norm_p["bias"] - jnp.einsum("bg,gc->bc", mean * inv, G) * norm_p["scale"]
+    return x * a[:, None, :].astype(x.dtype) + b[:, None, :].astype(x.dtype)
+
+
+def _channel_layernorm(g, x, dt):
+    eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    a = inv.astype(dt)
+    b = (-mean * inv).astype(dt)
+    return (x.astype(dt) * a + b) * g.astype(dt)
+
+
+def _resblock(p, x, film, dt):
+    """film: (B, 1, 2C) time rows or (B, N, 2C) cond rows, compute dtype."""
+    C = p["block1"]["proj"]["kernel"].shape[-1]
+    h = _dense(p["block1"]["proj"], x)
+    h = _group_norm(h, p["block1"]["norm"]).astype(dt)
+    h = h * (film[..., :C] + 1.0) + film[..., C:]
+    h = jax.nn.silu(h)
+    h = _dense(p["block2"]["proj"], h)
+    h = jax.nn.silu(_group_norm(h, p["block2"]["norm"]).astype(dt))
+    res = _dense(p["res_conv"], x) if "res_conv" in p else x
+    return h + res
+
+
+def _head_blockmask(heads, dim_head, dtype):
+    """(H*D, H*D) block-diagonal ones: 1 where both channels belong to the
+    same head.  Lets multi-head attention run on flat (B, N, H*D) tensors —
+    4-D (B, N, H, D) head tensors with D=32 trailing dims tile terribly on
+    TPU ((8,128) native tiles -> 8x padding waste and a ~26 us relayout copy
+    per q/k/v per block, measured ~1.4 ms/step at B=512)."""
+    hd = heads * dim_head
+    a = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    b = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    return (a == b).astype(dtype)
+
+
+def _seg_softmax_heads(x, heads, dim_head):
+    """Softmax within each head's dim_head-channel segment of the last axis,
+    without reshaping to 4-D.  Subtracting the per-row max (a constant within
+    every segment of that row) keeps it exact; segment sums ride the MXU via
+    the block-diagonal ones matrix."""
+    xf = x.astype(jnp.float32)
+    m = jnp.max(xf, axis=-1, keepdims=True)
+    e = jnp.exp(xf - m)
+    denom = jnp.einsum(
+        "...x,xy->...y", e, _head_blockmask(heads, dim_head, jnp.float32)
+    )
+    return (e / denom).astype(x.dtype)
+
+
+def _linear_attention(p, x, dt, heads=4, dim_head=32):
+    """Linear attention (denoise_net.py:208-235 math) on flat 2-D head layout.
+
+    q softmaxed over each head's feature segment, k over the object axis;
+    the per-head (d x e) contexts live as the diagonal blocks of one
+    (H*D, H*D) matrix, computed with a block mask — no (B, N, H, D) tensors.
+    """
+    B, N, C = x.shape
     qkv = jnp.einsum("bnc,ch->bnh", x, p["to_qkv"]["kernel"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    split = lambda a: a.reshape(B, N, heads, dim_head).transpose(0, 2, 3, 1)
-    q, k, v = split(q), split(k), split(v)
-    q = jax.nn.softmax(q, axis=-2) * (dim_head**-0.5)
-    k = jax.nn.softmax(k, axis=-1)
-    context = jnp.einsum("bhdn,bhen->bhde", k, v)
-    out = jnp.einsum("bhde,bhdn->bhen", context, q)
-    out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H*D) each
+    q = _seg_softmax_heads(q, heads, dim_head) * (dim_head**-0.5)
+    k = jax.nn.softmax(k, axis=1)  # over objects
+    ctx = jnp.einsum("bnx,bny->bxy", k, v)  # (B, H*D, H*D); off-head blocks unused
+    ctx = ctx * _head_blockmask(heads, dim_head, ctx.dtype)
+    out = jnp.einsum("bnx,bxy->bny", q, ctx)
     out = _dense(p["to_out"], out)
-    return _channel_layernorm(p["out_norm"]["g"], out)
+    return _channel_layernorm(p["out_norm"]["g"], out, dt)
 
 
 def _full_attention(p, x, heads=4, dim_head=32):
     B, N, C = x.shape
-    hidden = heads * dim_head
     qkv = jnp.einsum("bnc,ch->bnh", x, p["to_qkv"]["kernel"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
-    split = lambda a: a.reshape(B, N, heads, dim_head)
-    q, k, v = split(q), split(k), split(v)
-    q = q * (dim_head**-0.5)
+    shape4 = (B, N, heads, dim_head)
+    q = q.reshape(shape4) * (dim_head**-0.5)
+    k, v = k.reshape(shape4), v.reshape(shape4)
     sim = jnp.einsum("bihd,bjhd->bhij", q, k)
     attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, hidden)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, heads * dim_head)
     return _dense(p["to_out"], out)
 
 
-def _cross_attention(p, x, context, heads=4, dim_head=32):
-    B, N, C = x.shape
-    L = context.shape[1]
-    hidden = heads * dim_head
+def _cross_context(p, cc, heads=4, dim_head=32):
+    """Step-invariant half of linear cross-attention: softmaxed K x V as the
+    block-diagonal (B, H*D, H*D) context matrix (same layout as
+    _linear_attention's ctx)."""
+    kv = jnp.einsum("blc,ch->blh", cc, p["to_kv"]["kernel"])
+    k, v = jnp.split(kv, 2, axis=-1)  # (B, L, H*D)
+    k = jax.nn.softmax(k, axis=1)  # over text tokens
+    ctx = jnp.einsum("blx,bly->bxy", k, v)
+    return ctx * _head_blockmask(heads, dim_head, ctx.dtype)
+
+
+def _cross_attention_step(p, x, ctx_mat, dt, heads=4, dim_head=32):
     q = jnp.einsum("bnc,ch->bnh", x, p["to_q"]["kernel"])
-    kv = jnp.einsum("blc,ch->blh", context, p["to_kv"]["kernel"])
-    k, v = jnp.split(kv, 2, axis=-1)
-    q = q.reshape(B, N, heads, dim_head).transpose(0, 2, 3, 1)
-    k = k.reshape(B, L, heads, dim_head).transpose(0, 2, 3, 1)
-    v = v.reshape(B, L, heads, dim_head).transpose(0, 2, 3, 1)
-    q = jax.nn.softmax(q, axis=-2) * (dim_head**-0.5)
-    k = jax.nn.softmax(k, axis=-1)
-    context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
-    out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
-    out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+    q = _seg_softmax_heads(q, heads, dim_head) * (dim_head**-0.5)
+    out = jnp.einsum("bnx,bxy->bny", q, ctx_mat)
     out = _dense(p["to_out"], out)
-    return _channel_layernorm(p["out_norm"]["g"], out)
+    return _channel_layernorm(p["out_norm"]["g"], out, dt)
 
 
-def _film(p_res, emb, n_repeat: Optional[int] = None):
-    """Resblock FiLM rows from the conditioning embedding.
-
-    emb is (B, E) (time; repeated over objects) or (M, E) (per-object cond).
-    Returns (M, 2C) float32.
-    """
-    h = _dense(p_res["mlp"], jax.nn.silu(emb))
-    if n_repeat is not None:
-        h = jnp.repeat(h, n_repeat, axis=0)
-    return h
-
-
-def _fused_res(p_res, x2d, film, n_per_scene, compute_dtype):
-    return fused_resnet_block(
-        x2d, film,
-        w1=p_res["block1"]["proj"]["kernel"], b1=p_res["block1"]["proj"]["bias"],
-        gn1_scale=p_res["block1"]["norm"]["scale"], gn1_bias=p_res["block1"]["norm"]["bias"],
-        w2=p_res["block2"]["proj"]["kernel"], b2=p_res["block2"]["proj"]["bias"],
-        gn2_scale=p_res["block2"]["norm"]["scale"], gn2_bias=p_res["block2"]["norm"]["bias"],
-        w_res=p_res["res_conv"]["kernel"] if "res_conv" in p_res else None,
-        b_res=p_res["res_conv"]["bias"] if "res_conv" in p_res else None,
-        n_per_scene=n_per_scene,
-        compute_dtype=compute_dtype,
-    )
-
+# ---------------------------------------------------------------------------
+# the forward
+# ---------------------------------------------------------------------------
 
 def fused_unet1d_forward(
     net: Unet1D,
-    params: Dict[str, Any],  # output of prepare_inference_params
+    prep: Dict[str, Any],  # output of prepare_inference_params
     x: jnp.ndarray,  # (B, N, point_dim)
-    t: jnp.ndarray,  # (B,)
+    t: jnp.ndarray,  # (B,) integer timesteps
     condition: Optional[jnp.ndarray] = None,  # (B, N, cond_dim)
     condition_cross: Optional[jnp.ndarray] = None,  # (B, L, text_dim)
+    cond_ctx: Optional[Dict[str, Any]] = None,  # precompute_conditioning output
+    exact_gelu: bool = False,  # exact erf GELU in the encoder/decoder MLPs
 ) -> jnp.ndarray:
-    """Functionally identical to Unet1D.__call__ (models/denoiser.py)."""
+    """Functionally identical to ``Unet1D.__call__`` (models/denoiser.py)."""
     B, N, _ = x.shape
-    C = net.dim
     dt = net.compute_dtype
-    M = B * N
+    misc = prep["misc"]
+    blocks = prep["blocks"]
+    n_levels = len(net.dim_mults)
 
-    x = x.astype(jnp.float32)
+    if cond_ctx is None:
+        cond_ctx = precompute_conditioning(net, prep, condition, condition_cross)
+    film_c = cond_ctx["film_c"]
+    cross = cond_ctx["cross"]
 
-    # per-attribute encoders
+    def film_t(name):  # (B, 1, 2C) rows gathered from the (T, 2C) table
+        return prep["film_t"][name][t][:, None, :]
+
+    x = x.astype(dt)
+
+    # per-attribute encoders (denoise_net.py:512-525)
     if net.seperate_all:
         bd = net.bbox_dim
-        h = _mlp_enc(params["bbox_embedf"], x[..., :bd])
-        h = h + _mlp_enc(params["class_embedf"], x[..., bd : bd + net.class_dim])
+        h = _mlp3(misc["bbox_embedf"], x[..., :bd], exact_gelu)
+        h = h + _mlp3(misc["class_embedf"], x[..., bd : bd + net.class_dim], exact_gelu)
         ofs = bd + net.class_dim
         if net.objectness_dim > 0:
-            h = h + _mlp_enc(params["objectness_embedf"], x[..., ofs : ofs + net.objectness_dim])
+            h = h + _mlp3(misc["objectness_embedf"], x[..., ofs : ofs + net.objectness_dim], exact_gelu)
             ofs += net.objectness_dim
         if net.objfeat_dim > 0:
-            h = h + _mlp_enc(params["objfeat_embedf"], x[..., ofs : ofs + net.objfeat_dim])
+            h = h + _mlp3(misc["objfeat_embedf"], x[..., ofs : ofs + net.objfeat_dim], exact_gelu)
     else:
         h = x
-    h = _dense(params["init_conv"], h)
-    r = h  # (B, N, C)
+    h = _dense(misc["init_conv"], h)
+    r = h
 
-    # time embedding
-    t_emb = sinusoidal_pos_emb(t, C)
-    t_emb = _dense(params["time_mlp_2"], jax.nn.gelu(_dense(params["time_mlp_1"], t_emb),
-                                                     approximate=False))
-
-    h2 = h.reshape(M, C).astype(dt)
-    cond2 = condition.reshape(M, -1) if condition is not None else None
-    n_levels = len(net.dim_mults)
     skips = []
-
-    # down path
     for i in range(n_levels):
-        p0 = params[f"down{i}_block0"]
-        h2 = _fused_res(p0, h2, _film(p0, cond2), N, dt)
-        p1 = params[f"down{i}_block1"]
-        h2 = _fused_res(p1, h2, _film(p1, t_emb, n_repeat=N), N, dt)
-        skips.append(h2)
+        h = _resblock(blocks[f"down{i}_block0"], h, film_c[f"down{i}_block0"], dt)
+        h = _resblock(blocks[f"down{i}_block1"], h, film_t(f"down{i}_block1"), dt)
+        skips.append(h)
         if net.text_condition:
-            xh = h2.reshape(B, N, C).astype(jnp.float32)
-            xh = xh + _cross_attention(
-                params[f"down{i}_attncross"],
-                _channel_layernorm(params[f"down{i}_attncross_norm"]["g"], xh),
-                condition_cross.astype(jnp.float32),
+            nm = f"down{i}_attncross"
+            h = h + _cross_attention_step(
+                misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt), cross[nm], dt
             )
-            h2 = xh.reshape(M, C).astype(dt)
-        p2 = params[f"down{i}_block2"]
-        h2 = _fused_res(p2, h2, _film(p2, t_emb, n_repeat=N), N, dt)
-        xh = h2.reshape(B, N, C).astype(jnp.float32)
-        xh = xh + _linear_attention(
-            params[f"down{i}_attn"],
-            _channel_layernorm(params[f"down{i}_attn_norm"]["g"], xh),
+        h = _resblock(blocks[f"down{i}_block2"], h, film_t(f"down{i}_block2"), dt)
+        h = h + _linear_attention(
+            misc[f"down{i}_attn"],
+            _channel_layernorm(misc[f"down{i}_attn_norm"]["g"], h, dt), dt,
         )
-        h2 = xh.reshape(M, C).astype(dt)
-        skips.append(h2)
+        skips.append(h)
         if i == n_levels - 1:
-            h2 = _dense(params[f"down{i}_proj"], h2).astype(dt)
+            h = _dense(misc[f"down{i}_proj"], h)
 
-    # middle
-    p = params["mid_block0"]
-    h2 = _fused_res(p, h2, _film(p, cond2), N, dt)
-    p = params["mid_block1"]
-    h2 = _fused_res(p, h2, _film(p, t_emb, n_repeat=N), N, dt)
-    xh = h2.reshape(B, N, C).astype(jnp.float32)
+    h = _resblock(blocks["mid_block0"], h, film_c["mid_block0"], dt)
+    h = _resblock(blocks["mid_block1"], h, film_t("mid_block1"), dt)
     if net.text_condition:
-        xh = xh + _cross_attention(
-            params["mid_attncross"],
-            _channel_layernorm(params["mid_attncross_norm"]["g"], xh),
-            condition_cross.astype(jnp.float32),
+        h = h + _cross_attention_step(
+            misc["mid_attncross"],
+            _channel_layernorm(misc["mid_attncross_norm"]["g"], h, dt),
+            cross["mid_attncross"], dt,
         )
-    xh = xh + _full_attention(
-        params["mid_attn"], _channel_layernorm(params["mid_attn_norm"]["g"], xh)
+    h = h + _full_attention(
+        misc["mid_attn"], _channel_layernorm(misc["mid_attn_norm"]["g"], h, dt)
     )
-    h2 = xh.reshape(M, C).astype(dt)
-    p = params["mid_block2"]
-    h2 = _fused_res(p, h2, _film(p, t_emb, n_repeat=N), N, dt)
+    h = _resblock(blocks["mid_block2"], h, film_t("mid_block2"), dt)
 
-    # up path
     for j in range(n_levels):
-        p0 = params[f"up{j}_block0"]
-        h2 = _fused_res(p0, h2, _film(p0, cond2), N, dt)
-        h2 = jnp.concatenate([h2, skips.pop()], axis=-1)
-        p1 = params[f"up{j}_block1"]
-        h2 = _fused_res(p1, h2, _film(p1, t_emb, n_repeat=N), N, dt)
+        h = _resblock(blocks[f"up{j}_block0"], h, film_c[f"up{j}_block0"], dt)
+        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        h = _resblock(blocks[f"up{j}_block1"], h, film_t(f"up{j}_block1"), dt)
         if net.text_condition:
-            xh = h2.reshape(B, N, C).astype(jnp.float32)
-            xh = xh + _cross_attention(
-                params[f"up{j}_attncross"],
-                _channel_layernorm(params[f"up{j}_attncross_norm"]["g"], xh),
-                condition_cross.astype(jnp.float32),
+            nm = f"up{j}_attncross"
+            h = h + _cross_attention_step(
+                misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt), cross[nm], dt
             )
-            h2 = xh.reshape(M, C).astype(dt)
-        h2 = jnp.concatenate([h2, skips.pop()], axis=-1)
-        p2 = params[f"up{j}_block2"]
-        h2 = _fused_res(p2, h2, _film(p2, t_emb, n_repeat=N), N, dt)
-        xh = h2.reshape(B, N, C).astype(jnp.float32)
-        xh = xh + _linear_attention(
-            params[f"up{j}_attn"],
-            _channel_layernorm(params[f"up{j}_attn_norm"]["g"], xh),
+        h = jnp.concatenate([h, skips.pop()], axis=-1)
+        h = _resblock(blocks[f"up{j}_block2"], h, film_t(f"up{j}_block2"), dt)
+        h = h + _linear_attention(
+            misc[f"up{j}_attn"],
+            _channel_layernorm(misc[f"up{j}_attn_norm"]["g"], h, dt), dt,
         )
-        h2 = xh.reshape(M, C).astype(dt)
         if j == n_levels - 1:
-            h2 = _dense(params[f"up{j}_proj"], h2).astype(dt)
+            h = _dense(misc[f"up{j}_proj"], h)
 
-    # final
-    h2 = jnp.concatenate([h2, r.reshape(M, C).astype(dt)], axis=-1)
-    p = params["final_res_block"]
-    h2 = _fused_res(p, h2, _film(p, t_emb, n_repeat=N), N, dt)
-    hf = h2.reshape(B, N, C).astype(jnp.float32)
+    h = jnp.concatenate([h, r], axis=-1)
+    h = _resblock(blocks["final_res_block"], h, film_t("final_res_block"), dt)
 
     if net.seperate_all:
         out = jnp.concatenate(
-            [_mlp_dec(params["bbox_hidden2output"], hf),
-             _mlp_dec(params["class_hidden2output"], hf)], axis=-1)
+            [_mlp3(misc["bbox_hidden2output"], h, exact_gelu),
+             _mlp3(misc["class_hidden2output"], h, exact_gelu)], axis=-1)
         if net.objectness_dim > 0:
-            out = jnp.concatenate([out, _mlp_dec(params["objectness_hidden2output"], hf)], axis=-1)
+            out = jnp.concatenate([out, _mlp3(misc["objectness_hidden2output"], h, exact_gelu)], axis=-1)
         if net.objfeat_dim > 0:
-            out = jnp.concatenate([out, _mlp_dec(params["objfeat_hidden2output"], hf)], axis=-1)
+            out = jnp.concatenate([out, _mlp3(misc["objfeat_hidden2output"], h, exact_gelu)], axis=-1)
     else:
-        out = _dense(params["final_conv"], hf)
+        out = _dense(misc["final_conv"], h)
     return out.astype(jnp.float32)

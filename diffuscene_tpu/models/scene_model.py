@@ -406,15 +406,26 @@ class SceneDiffusion:
     # ------------------------------------------------------------------
     def _denoise_fn(self, params, condition, condition_cross, fused: bool = False):
         if fused:
-            # serving path: fused Pallas resblocks + once-per-call weight
-            # standardization (models/inference.py)
-            from .inference import fused_unet1d_forward, prepare_inference_params
+            # serving path (models/inference.py): once-per-call weight
+            # standardization + dtype casts, precomputed time-FiLM tables and
+            # conditioning contexts — everything step-invariant leaves the scan
+            from .inference import (
+                fused_unet1d_forward,
+                precompute_conditioning,
+                prepare_inference_params,
+            )
 
             unet = build_unet1d(self.cfg)
-            inf_params = prepare_inference_params(unet, params["params"]["denoiser"])
+            inf_params = prepare_inference_params(
+                unet, params["params"]["denoiser"],
+                num_timesteps=self.sched.num_timesteps,
+            )
+            cond_ctx = precompute_conditioning(unet, inf_params, condition, condition_cross)
 
             def fn(x, t):
-                return fused_unet1d_forward(unet, inf_params, x, t, condition, condition_cross)
+                return fused_unet1d_forward(
+                    unet, inf_params, x, t, condition, condition_cross, cond_ctx=cond_ctx
+                )
 
             return fn
 

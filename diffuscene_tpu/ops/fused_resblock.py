@@ -17,13 +17,15 @@ Weights must be pre-standardized (weight standardization is a pure function
 of the kernel; `models/inference.py` does it once per sampling call instead
 of once per step).
 
-Measured reality check (v5e, B=512, C=512): two bare (6144x512)@(512x512)
-bf16 matmuls already cost ~196 us in a scan (~33 TFLOP/s sustained at this
-shape), so the unfused XLA forward (~5.5 ms/step ~= 50 matmuls) is ~90% of
-the machine rate and this kernel is at parity per block (~420 vs ~390 us),
-not faster — the engine stays opt-in (`sample(..., fused=True)`).  It
-becomes the right tool when the denoiser grows (larger dim / more objects)
-or on hardware where elementwise fusion, not matmul issue rate, limits.
+Measured reality check (v5e, B=512, C=512): bare (6144x512)@(512x512) bf16
+matmuls sustain ~23 us each (~140-175 TFLOP/s) in a scan, and the XLA-level
+serving engine (models/inference.py — hoisted weight standardization,
+precomputed time-FiLM tables, 2-D block-masked attention, one-pass GN
+moments) reaches ~165 scenes/s for the 1000-step sampler, which XLA
+schedules better end-to-end than this per-block kernel.  The kernel is kept
+as the building block for row-tiled whole-level fusion (weights VMEM-
+resident across the row grid) and for hardware/shape regimes where XLA's
+elementwise scheduling, not matmul issue rate, limits.
 """
 from __future__ import annotations
 

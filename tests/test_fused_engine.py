@@ -72,7 +72,8 @@ def test_fused_resblock_res_proj():
 
 
 @pytest.mark.parametrize("text", [False, True])
-def test_fused_forward_matches_flax(text):
+@pytest.mark.parametrize("exact_gelu", [True, False])
+def test_fused_forward_matches_flax(text, exact_gelu):
     net = Unet1D(
         dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0, class_dim=22,
         translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
@@ -89,8 +90,13 @@ def test_fused_forward_matches_flax(text):
     variables = net.init(jax.random.PRNGKey(0), x, t, ctx, cc)
     want = net.apply(variables, x, t, ctx, cc)
     inf = prepare_inference_params(net, variables["params"])
-    got = fused_unet1d_forward(net, inf, x, t, ctx, cc)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
+    got = fused_unet1d_forward(net, inf, x, t, ctx, cc, exact_gelu=exact_gelu)
+    if exact_gelu:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
+    else:
+        # serving default: tanh-approx GELU deviates by <= ~3e-3 per forward
+        # (below bf16 rounding at these magnitudes)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-2, rtol=5e-2)
 
 
 def test_fused_sample_path():
