@@ -242,16 +242,35 @@ def _channel_layernorm(g, x, dt):
     return (x.astype(dt) * a + b) * g.astype(dt)
 
 
-def _resblock(p, x, film, dt):
-    """film: (B, 1, 2C) time rows or (B, N, 2C) cond rows, compute dtype."""
+def _dense_cat(p, x, x2):
+    """Dense over an implicit concat([x, x2], -1) without materializing it:
+    split the kernel's input rows instead (skip concats at (B, 12, 1024) cost
+    a full write+read of 25 MB each at B=512)."""
+    k = p["kernel"]
+    c = x.shape[-1]
+    y = jnp.einsum("...c,co->...o", x, k[:c]) + jnp.einsum("...c,co->...o", x2, k[c:])
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _resblock(p, x, film, dt, skip=None):
+    """film: (B, 1, 2C) time rows or (B, N, 2C) cond rows, compute dtype.
+    ``skip``: optional second input, treated as concat([x, skip], -1)."""
     C = p["block1"]["proj"]["kernel"].shape[-1]
-    h = _dense(p["block1"]["proj"], x)
+    if skip is None:
+        h = _dense(p["block1"]["proj"], x)
+    else:
+        h = _dense_cat(p["block1"]["proj"], x, skip)
     h = _group_norm(h, p["block1"]["norm"]).astype(dt)
     h = h * (film[..., :C] + 1.0) + film[..., C:]
     h = jax.nn.silu(h)
     h = _dense(p["block2"]["proj"], h)
     h = jax.nn.silu(_group_norm(h, p["block2"]["norm"]).astype(dt))
-    res = _dense(p["res_conv"], x) if "res_conv" in p else x
+    if "res_conv" in p:
+        res = _dense(p["res_conv"], x) if skip is None else _dense_cat(p["res_conv"], x, skip)
+    else:
+        res = x
     return h + res
 
 
@@ -413,15 +432,15 @@ def fused_unet1d_forward(
 
     for j in range(n_levels):
         h = _resblock(blocks[f"up{j}_block0"], h, film_c[f"up{j}_block0"], dt)
-        h = jnp.concatenate([h, skips.pop()], axis=-1)
-        h = _resblock(blocks[f"up{j}_block1"], h, film_t(f"up{j}_block1"), dt)
+        h = _resblock(blocks[f"up{j}_block1"], h, film_t(f"up{j}_block1"), dt,
+                      skip=skips.pop())
         if net.text_condition:
             nm = f"up{j}_attncross"
             h = h + _cross_attention_step(
                 misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt), cross[nm], dt
             )
-        h = jnp.concatenate([h, skips.pop()], axis=-1)
-        h = _resblock(blocks[f"up{j}_block2"], h, film_t(f"up{j}_block2"), dt)
+        h = _resblock(blocks[f"up{j}_block2"], h, film_t(f"up{j}_block2"), dt,
+                      skip=skips.pop())
         h = h + _linear_attention(
             misc[f"up{j}_attn"],
             _channel_layernorm(misc[f"up{j}_attn_norm"]["g"], h, dt), dt,
@@ -429,8 +448,7 @@ def fused_unet1d_forward(
         if j == n_levels - 1:
             h = _dense(misc[f"up{j}_proj"], h)
 
-    h = jnp.concatenate([h, r], axis=-1)
-    h = _resblock(blocks["final_res_block"], h, film_t("final_res_block"), dt)
+    h = _resblock(blocks["final_res_block"], h, film_t("final_res_block"), dt, skip=r)
 
     if net.seperate_all:
         out = jnp.concatenate(
