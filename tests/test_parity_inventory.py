@@ -1,0 +1,224 @@
+"""SURVEY.md §2 component inventory → TPU-native equivalent, line by line.
+
+Each entry pins one reference component (file:line as inventoried in
+SURVEY.md / PARITY.md) to the public symbol that implements its equivalent
+here.  The test imports every one of them, so a regression that drops a
+component from the public surface fails loudly, and the inventory itself is
+machine-checked rather than prose.
+"""
+import importlib
+
+import pytest
+
+# (reference component — SURVEY.md §2 location, module, symbol)
+INVENTORY = [
+    # --- §2.1 networks ---
+    ("DiffusionSceneLayout_DDPM (diffusion_scene_layout_ddpm.py:14-454)",
+     "diffuscene_tpu.models", "SceneDiffusion"),
+    ("conditioning assembly (diffusion_scene_layout_ddpm.py:172-221)",
+     "diffuscene_tpu.models", "SceneNetworks"),
+    ("network factory build_network (networks/__init__.py:37-68)",
+     "diffuscene_tpu.models", "build_network"),
+    ("GaussianDiffusion schedules get_betas (diffusion_ddpm.py:45-91)",
+     "diffuscene_tpu.diffusion", "get_betas"),
+    ("GaussianDiffusion q_sample (diffusion_ddpm.py:276)",
+     "diffuscene_tpu.diffusion", "q_sample"),
+    ("q_posterior_mean_variance (diffusion_ddpm.py:289)",
+     "diffuscene_tpu.diffusion", "q_posterior_mean_variance"),
+    ("p_mean_variance (diffusion_ddpm.py:305)",
+     "diffuscene_tpu.diffusion", "p_mean_variance"),
+    ("model_predictions eps/x0/v (diffusion_ddpm.py:242-264)",
+     "diffuscene_tpu.diffusion", "model_predictions"),
+    ("_predict_xstart_from_eps (diffusion_ddpm.py:217)",
+     "diffuscene_tpu.diffusion", "predict_xstart_from_eps"),
+    ("_predict_v / _predict_start_from_v (diffusion_ddpm.py:230-240)",
+     "diffuscene_tpu.diffusion", "predict_v"),
+    ("normal_kl (diffusion_ddpm.py:96)", "diffuscene_tpu.diffusion", "normal_kl"),
+    ("p_losses with per-attribute decomposition (diffusion_ddpm.py:520-665)",
+     "diffuscene_tpu.diffusion", "p_losses"),
+    ("IoU loss regularizer (diffusion_ddpm.py:600-635)",
+     "diffuscene_tpu.diffusion", "iou_regularizer"),
+    ("descale_to_origin (diffusion_ddpm.py:668)",
+     "diffuscene_tpu.diffusion", "descale_to_origin"),
+    ("p_sample_loop (diffusion_ddpm.py:355-371)",
+     "diffuscene_tpu.diffusion", "p_sample_loop"),
+    ("p_sample_loop_trajectory (diffusion_ddpm.py:373-398)",
+     "diffuscene_tpu.diffusion", "p_sample_loop_trajectory"),
+    ("ddim_sample_loop, fixed (diffusion_ddpm.py:401-444)",
+     "diffuscene_tpu.diffusion", "ddim_sample_loop"),
+    ("p_sample_loop_complete / RePaint splice (diffusion_ddpm.py:447-476)",
+     "diffuscene_tpu.diffusion", "p_sample_loop_complete"),
+    ("p_sample_loop_arrange 5-channel (diffusion_ddpm.py:478-506)",
+     "diffuscene_tpu.diffusion", "p_sample_loop_arrange"),
+    ("calc_bpd_loop (diffusion_ddpm.py:690-717)",
+     "diffuscene_tpu.diffusion", "calc_bpd_loop"),
+    ("Unet1D denoiser (denoise_net.py:335-593)",
+     "diffuscene_tpu.models", "Unet1D"),
+    ("KLAutoEncoder (foldingnet_autoencoder.py:337-390)",
+     "diffuscene_tpu.models", "KLAutoEncoder"),
+    ("graph Encoder (foldingnet_autoencoder.py:161-207)",
+     "diffuscene_tpu.models", "Encoder"),
+    ("FoldingNet Decoder (foldingnet_autoencoder.py:244-282)",
+     "diffuscene_tpu.models", "Decoder"),
+    ("GraphLayer (foldingnet_autoencoder.py:131)",
+     "diffuscene_tpu.models", "GraphLayer"),
+    ("ResNet18 room-mask extractor (feature_extractors.py:19-44)",
+     "diffuscene_tpu.models", "ResNet18"),
+    ("AlexNet extractor (feature_extractors.py:47-68)",
+     "diffuscene_tpu.models", "AlexNet"),
+    ("get_feature_extractor (feature_extractors.py:71-85)",
+     "diffuscene_tpu.models", "get_feature_extractor"),
+    ("FrozenBatchNorm2d (frozen_batchnorm.py:6-68)",
+     "diffuscene_tpu.models", "FrozenBatchNorm"),
+    ("axis_aligned_bbox_overlaps_3d (loss.py:7-102)",
+     "diffuscene_tpu.ops", "axis_aligned_bbox_overlaps_3d"),
+    ("optimizer_factory (networks/__init__.py:15-34)",
+     "diffuscene_tpu.train", "optimizer_factory"),
+    ("schedule_factory / adjust_learning_rate (networks/__init__.py:127-168)",
+     "diffuscene_tpu.train", "lr_schedule_factory"),
+    # --- §2.2 datasets ---
+    ("get_raw_dataset (datasets/__init__.py:11)",
+     "diffuscene_tpu.data", "get_raw_dataset"),
+    ("get_dataset_raw_and_encoded (datasets/__init__.py:40)",
+     "diffuscene_tpu.data", "get_dataset_raw_and_encoded"),
+    ("get_encoded_dataset (datasets/__init__.py:58)",
+     "diffuscene_tpu.data", "get_encoded_dataset"),
+    ("filter_function room stacks (datasets/__init__.py:71-176)",
+     "diffuscene_tpu.data", "filter_function"),
+    ("furniture label maps (base.py:2-92)",
+     "diffuscene_tpu.data", "load_furniture_map"),
+    ("filter combinators (common.py:96-210)",
+     "diffuscene_tpu.data", "filter_compose"),
+    ("Room / floor plan / augment (threed_front_scene.py:21-400)",
+     "diffuscene_tpu.data", "Room"),
+    ("ThreedFutureModel (threed_front_scene.py:401-666)",
+     "diffuscene_tpu.data", "ThreedFutureModel"),
+    ("ThreedFront bounds container (threed_front.py:16-216)",
+     "diffuscene_tpu.data", "ThreedFront"),
+    ("CachedThreedFront boxes.npz reader (threed_front.py:274-440)",
+     "diffuscene_tpu.data", "CachedThreedFront"),
+    ("encoding pipeline factory (threed_front_dataset.py:942-1072)",
+     "diffuscene_tpu.data", "build_encoding"),
+    ("Diffusion final encoding (threed_front_dataset.py:888-939)",
+     "diffuscene_tpu.data", "diffusion_encode"),
+    ("Scale / post_process inverse (threed_front_dataset.py:375-539)",
+     "diffuscene_tpu.data", "descale_sample"),
+    ("ThreedFutureDataset retrieval (threed_future_dataset.py:9-93)",
+     "diffuscene_tpu.data", "ThreedFutureDataset"),
+    ("ThreedFutureNormPCDataset 2048-pt (threed_future_dataset.py:94-137)",
+     "diffuscene_tpu.data", "ThreedFutureNormPCDataset"),
+    ("parse_threed_front_scenes (datasets/utils.py:12-126)",
+     "diffuscene_tpu.data", "parse_threed_front_scenes"),
+    ("parse_threed_future_models (datasets/utils.py:129-198)",
+     "diffuscene_tpu.data", "parse_threed_future_models"),
+    ("compute_rel spatial relations (utils_text.py:5-55)",
+     "diffuscene_tpu.data", "compute_rel"),
+    ("Add_Text sentence synthesis (threed_front_dataset.py:637-819)",
+     "diffuscene_tpu.data", "TextDescriptionGenerator"),
+    ("CSVSplitsBuilder (splits_builder.py:34-40)",
+     "diffuscene_tpu.data", "CSVSplitsBuilder"),
+    ("PLY export/load (utils_io.py)",
+     "diffuscene_tpu.data", "export_pointcloud"),
+    # --- §2.3 native ops ---
+    ("chamfer3D CUDA kernel (chamfer3D.cu:12-195)",
+     "diffuscene_tpu.ops", "chamfer_3d"),
+    ("chamfer2D (chamfer2D.cu)", "diffuscene_tpu.ops", "chamfer_2d"),
+    ("chamfer5D (chamfer5D.cu)", "diffuscene_tpu.ops", "chamfer_5d"),
+    ("chamfer_python oracle (chamfer_python.py:4-39)",
+     "diffuscene_tpu.ops", "chamfer_oracle"),
+    ("fscore (fscore.py:3-16)", "diffuscene_tpu.ops", "fscore"),
+    # --- §2.4 eval / viz toolkit ---
+    ("render (scripts/utils.py:220-239)", "diffuscene_tpu.eval", "render"),
+    ("render_to_folder (scripts/utils.py:361-457)",
+     "diffuscene_tpu.eval", "render_to_folder"),
+    ("render_scene_from_bbox_params (scripts/utils.py:460-556)",
+     "diffuscene_tpu.eval", "render_scene_from_bbox_params"),
+    ("floor_plan_from_scene (scripts/utils.py:73)",
+     "diffuscene_tpu.eval", "floor_plan_from_scene"),
+    ("export_scene (scripts/utils.py:257)", "diffuscene_tpu.eval", "export_scene"),
+    ("merge_meshes (scripts/utils.py:294-329)",
+     "diffuscene_tpu.eval", "merge_meshes"),
+    ("computer_intersection (scripts/utils.py:664-701)",
+     "diffuscene_tpu.eval", "computer_intersection"),
+    ("computer_symmetry / judge_if_symmetry (scripts/utils.py:703-747)",
+     "diffuscene_tpu.eval", "computer_symmetry"),
+    ("eval bbox overlap_ratio variant (scripts/utils.py:560-662)",
+     "diffuscene_tpu.eval", "bbox_iou_and_overlap_ratio"),
+    ("get_textured_objects (scene_synthesis/utils.py:10-77)",
+     "diffuscene_tpu.eval", "get_textured_objects"),
+    ("get_textured_objects_based_on_objfeats (scene_synthesis/utils.py:80-165)",
+     "diffuscene_tpu.eval", "get_textured_objects_based_on_objfeats"),
+    ("categorical_kl (generate_diffusion.py:44)",
+     "diffuscene_tpu.eval", "categorical_kl"),
+    ("FID/KID (compute_fid_scores.py:113-116)",
+     "diffuscene_tpu.eval", "compute_fid_folders"),
+    ("improved precision/recall (improved_precision_recall.py:51-199)",
+     "diffuscene_tpu.eval", "compute_precision_recall"),
+    ("empty-slot filtering (diffusion_scene_layout_ddpm.py:352-454)",
+     "diffuscene_tpu.eval", "split_network_samples"),
+    # --- §5 infra ---
+    ("StatsLogger (stats_logger.py:22-64)", "diffuscene_tpu.utils", "StatsLogger"),
+    ("WandB logger (stats_logger.py:67-125)", "diffuscene_tpu.utils", "WandB"),
+    ("AverageAggregator (stats_logger.py:7)",
+     "diffuscene_tpu.utils", "AverageAggregator"),
+    ("load_config YAML (training_utils.py:15-18)",
+     "diffuscene_tpu.utils", "load_config"),
+    ("save_experiment_params + git hash (training_utils.py:25-52)",
+     "diffuscene_tpu.utils", "save_experiment_params"),
+    ("checkpoint save/auto-resume (training_utils.py:62-97)",
+     "diffuscene_tpu.utils", "load_checkpoint"),
+    ("bounds.npz persistence (train_diffusion.py:128-137)",
+     "diffuscene_tpu.utils", "save_bounds"),
+    ("torch->flax checkpoint converter (README pretrained ckpts)",
+     "diffuscene_tpu.utils", "convert_scene_model"),
+    # --- parallelism (reference: none; TPU-native additions, SURVEY §2.6) ---
+    ("device mesh", "diffuscene_tpu.parallel", "make_mesh"),
+    ("sharded sampling", "diffuscene_tpu.parallel", "ShardedSampler"),
+    ("multi-host init", "diffuscene_tpu.parallel", "initialize"),
+    ("per-host batch slicing", "diffuscene_tpu.parallel", "host_local_slice"),
+    ("tensor-parallel param shardings", "diffuscene_tpu.parallel", "param_shardings"),
+    # --- serving engine (TPU-native addition) ---
+    ("fused serving forward", "diffuscene_tpu.models.inference", "fused_unet1d_forward"),
+    ("serving prep (WS/casts/FiLM tables)",
+     "diffuscene_tpu.models.inference", "prepare_inference_params"),
+]
+
+CLI_MODULES = [
+    # reference scripts (SURVEY.md §2.4) -> cli equivalents
+    "train_diffusion", "generate_diffusion", "completion_rearrange",
+    "train_objautoencoder", "generate_objautoencoder", "preprocess_data",
+    "pickle_threed_future_dataset", "pickle_threed_future_pointcloud",
+    "compute_fid_scores", "improved_precision_recall",
+]
+
+
+@pytest.mark.parametrize("ref,module,symbol", INVENTORY,
+                         ids=[f"{m}.{s}" for _, m, s in INVENTORY])
+def test_component_present(ref, module, symbol):
+    mod = importlib.import_module(module)
+    assert hasattr(mod, symbol), f"missing {module}.{symbol} (reference: {ref})"
+
+
+@pytest.mark.parametrize("name", CLI_MODULES)
+def test_cli_module_present(name):
+    mod = importlib.import_module(f"diffuscene_tpu.cli.{name}")
+    assert hasattr(mod, "main"), f"cli.{name} lacks main()"
+
+
+def test_config_assets_present():
+    """§2.5: uncond/text/rearrange configs x room types + shape AE + splits."""
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    expect = [
+        "uncond/diffusion_bedrooms_instancond_lat32_v.yaml",
+        "uncond/diffusion_livingrooms_instancond_lat32_v.yaml",
+        "uncond/diffusion_diningrooms_instancond_lat32_v.yaml",
+        "text/diffusion_bedrooms_instancond_lat32_v_bert.yaml",
+        "rearrange/diffusion_bedrooms_instancond_lat32_v_rearrange.yaml",
+        "obj_autoencoder/bed_living_diningrooms_lat32.yaml",
+        "splits/bedroom_threed_front_splits.csv",
+        "splits/invalid_threed_front_rooms.txt",
+        "splits/black_list.txt",
+    ]
+    missing = [e for e in expect if not os.path.exists(os.path.join(root, e))]
+    assert not missing, missing
