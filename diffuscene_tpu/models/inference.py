@@ -209,7 +209,7 @@ def _group_expand(g: int, C: int, dtype):
     return (grp == ch).astype(dtype)
 
 
-def _group_norm(x, norm_p, eps: float = 1e-6):
+def _group_norm(x, norm_p, groups: int = GROUPS, eps: float = 1e-6):
     """GroupNorm with torch/flax semantics on (B, N, C): statistics reduce
     over BOTH the object axis and the group's channels.
 
@@ -217,7 +217,7 @@ def _group_norm(x, norm_p, eps: float = 1e-6):
     compute-dtype affine ``x * a + b`` so no f32 (B, N, C) intermediate is
     ever materialized (those cost a ~30 us relayout copy each at B=512)."""
     B, N, C = x.shape
-    g = GROUPS
+    g = groups
     xf = x.astype(jnp.float32).reshape(B, N, g, C // g)
     # one-pass moments (linen fast-variance form): a single read of the big
     # tensor produces both E[x] and E[x^2]
@@ -254,7 +254,7 @@ def _dense_cat(p, x, x2):
     return y
 
 
-def _resblock(p, x, film, dt, skip=None):
+def _resblock(p, x, film, dt, skip=None, groups: int = GROUPS):
     """film: (B, 1, 2C) time rows or (B, N, 2C) cond rows, compute dtype.
     ``skip``: optional second input, treated as concat([x, skip], -1)."""
     C = p["block1"]["proj"]["kernel"].shape[-1]
@@ -262,11 +262,11 @@ def _resblock(p, x, film, dt, skip=None):
         h = _dense(p["block1"]["proj"], x)
     else:
         h = _dense_cat(p["block1"]["proj"], x, skip)
-    h = _group_norm(h, p["block1"]["norm"]).astype(dt)
+    h = _group_norm(h, p["block1"]["norm"], groups).astype(dt)
     h = h * (film[..., :C] + 1.0) + film[..., C:]
     h = jax.nn.silu(h)
     h = _dense(p["block2"]["proj"], h)
-    h = jax.nn.silu(_group_norm(h, p["block2"]["norm"]).astype(dt))
+    h = jax.nn.silu(_group_norm(h, p["block2"]["norm"], groups).astype(dt))
     if "res_conv" in p:
         res = _dense(p["res_conv"], x) if skip is None else _dense_cat(p["res_conv"], x, skip)
     else:
@@ -374,6 +374,7 @@ def fused_unet1d_forward(
 
     if cond_ctx is None:
         cond_ctx = precompute_conditioning(net, prep, condition, condition_cross)
+    groups = net.resnet_block_groups
     film_c = cond_ctx["film_c"]
     cross = cond_ctx["cross"]
 
@@ -400,15 +401,15 @@ def fused_unet1d_forward(
 
     skips = []
     for i in range(n_levels):
-        h = _resblock(blocks[f"down{i}_block0"], h, film_c[f"down{i}_block0"], dt)
-        h = _resblock(blocks[f"down{i}_block1"], h, film_t(f"down{i}_block1"), dt)
+        h = _resblock(blocks[f"down{i}_block0"], h, film_c[f"down{i}_block0"], dt, groups=groups)
+        h = _resblock(blocks[f"down{i}_block1"], h, film_t(f"down{i}_block1"), dt, groups=groups)
         skips.append(h)
         if net.text_condition:
             nm = f"down{i}_attncross"
             h = h + _cross_attention_step(
                 misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt), cross[nm], dt
             )
-        h = _resblock(blocks[f"down{i}_block2"], h, film_t(f"down{i}_block2"), dt)
+        h = _resblock(blocks[f"down{i}_block2"], h, film_t(f"down{i}_block2"), dt, groups=groups)
         h = h + _linear_attention(
             misc[f"down{i}_attn"],
             _channel_layernorm(misc[f"down{i}_attn_norm"]["g"], h, dt), dt,
@@ -417,8 +418,8 @@ def fused_unet1d_forward(
         if i == n_levels - 1:
             h = _dense(misc[f"down{i}_proj"], h)
 
-    h = _resblock(blocks["mid_block0"], h, film_c["mid_block0"], dt)
-    h = _resblock(blocks["mid_block1"], h, film_t("mid_block1"), dt)
+    h = _resblock(blocks["mid_block0"], h, film_c["mid_block0"], dt, groups=groups)
+    h = _resblock(blocks["mid_block1"], h, film_t("mid_block1"), dt, groups=groups)
     if net.text_condition:
         h = h + _cross_attention_step(
             misc["mid_attncross"],
@@ -428,19 +429,19 @@ def fused_unet1d_forward(
     h = h + _full_attention(
         misc["mid_attn"], _channel_layernorm(misc["mid_attn_norm"]["g"], h, dt)
     )
-    h = _resblock(blocks["mid_block2"], h, film_t("mid_block2"), dt)
+    h = _resblock(blocks["mid_block2"], h, film_t("mid_block2"), dt, groups=groups)
 
     for j in range(n_levels):
-        h = _resblock(blocks[f"up{j}_block0"], h, film_c[f"up{j}_block0"], dt)
+        h = _resblock(blocks[f"up{j}_block0"], h, film_c[f"up{j}_block0"], dt, groups=groups)
         h = _resblock(blocks[f"up{j}_block1"], h, film_t(f"up{j}_block1"), dt,
-                      skip=skips.pop())
+                      skip=skips.pop(), groups=groups)
         if net.text_condition:
             nm = f"up{j}_attncross"
             h = h + _cross_attention_step(
                 misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt), cross[nm], dt
             )
         h = _resblock(blocks[f"up{j}_block2"], h, film_t(f"up{j}_block2"), dt,
-                      skip=skips.pop())
+                      skip=skips.pop(), groups=groups)
         h = h + _linear_attention(
             misc[f"up{j}_attn"],
             _channel_layernorm(misc[f"up{j}_attn_norm"]["g"], h, dt), dt,
@@ -448,7 +449,7 @@ def fused_unet1d_forward(
         if j == n_levels - 1:
             h = _dense(misc[f"up{j}_proj"], h)
 
-    h = _resblock(blocks["final_res_block"], h, film_t("final_res_block"), dt, skip=r)
+    h = _resblock(blocks["final_res_block"], h, film_t("final_res_block"), dt, skip=r, groups=groups)
 
     if net.seperate_all:
         out = jnp.concatenate(

@@ -155,3 +155,23 @@ def test_fused_trajectory_matches_flax():
         params, jax.random.PRNGKey(1))
     assert fused.shape == ref.shape == (3, 2, 12, 62)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
+
+
+def test_fused_forward_nondefault_groups():
+    """resnet_block_groups != 8 must flow into the engine's GroupNorm."""
+    net = Unet1D(
+        dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0, class_dim=22,
+        translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
+        context_dim=0, instanclass_dim=16, seperate_all=True,
+        resnet_block_groups=4, compute_dtype=jnp.float32,
+    )
+    B, N, D = 2, 12, 62
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, D)), jnp.float32)
+    t = jnp.array([1, 5], jnp.int32)
+    ctx = jnp.asarray(rng.normal(0, 1, (B, N, 16)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, t, ctx)
+    want = net.apply(variables, x, t, ctx)
+    inf = prepare_inference_params(net, variables["params"], num_timesteps=8)
+    got = fused_unet1d_forward(net, inf, x, t, ctx, exact_gelu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
