@@ -38,16 +38,9 @@ import jax.numpy as jnp
 from ..ops.fused_resblock import standardize_kernel
 from .denoiser import Unet1D, sinusoidal_pos_emb
 
-GROUPS = 8  # resnet_block_groups in every shipped config
-
-
 # ---------------------------------------------------------------------------
 # preparation: everything that is constant across sampling steps
 # ---------------------------------------------------------------------------
-
-def _tree_get(params: Dict[str, Any], name: str) -> Optional[Dict[str, Any]]:
-    return params.get(name)
-
 
 def _cast(p, dtype):
     return jax.tree.map(lambda a: a.astype(dtype), p)
@@ -137,7 +130,8 @@ def prepare_inference_params(
     for name in _cond_block_names(n_levels):
         blk = p[name]
         prep["blocks"][name] = _prep_res(blk, ws_eps, dt)
-        prep["blocks"][name]["mlp"] = _cast(blk["mlp"], dt)
+        if "mlp" in blk:  # absent when cond_dim == 0 (unconditioned Unet1D)
+            prep["blocks"][name]["mlp"] = _cast(blk["mlp"], dt)
 
     # --- everything else: plain weight casts ---
     for name in list(p.keys()):
@@ -165,7 +159,9 @@ def precompute_conditioning(
     if condition is not None:
         c_act = jax.nn.silu(condition.astype(dt))
         for name in _cond_block_names(n_levels):
-            mlp = prep["blocks"][name]["mlp"]
+            mlp = prep["blocks"][name].get("mlp")
+            if mlp is None:
+                continue
             ctx["film_c"][name] = jnp.dot(c_act, mlp["kernel"]) + mlp["bias"]  # (B,N,2C)
     if net.text_condition and condition_cross is not None:
         cc = condition_cross.astype(dt)
@@ -209,7 +205,7 @@ def _group_expand(g: int, C: int, dtype):
     return (grp == ch).astype(dtype)
 
 
-def _group_norm(x, norm_p, groups: int = GROUPS, eps: float = 1e-6):
+def _group_norm(x, norm_p, groups: int, eps: float = 1e-6):
     """GroupNorm with torch/flax semantics on (B, N, C): statistics reduce
     over BOTH the object axis and the group's channels.
 
@@ -254,7 +250,7 @@ def _dense_cat(p, x, x2):
     return y
 
 
-def _resblock(p, x, film, dt, skip=None, groups: int = GROUPS):
+def _resblock(p, x, film, dt, *, groups: int, skip=None):
     """film: (B, 1, 2C) time rows or (B, N, 2C) cond rows, compute dtype.
     ``skip``: optional second input, treated as concat([x, skip], -1)."""
     C = p["block1"]["proj"]["kernel"].shape[-1]
@@ -263,7 +259,8 @@ def _resblock(p, x, film, dt, skip=None, groups: int = GROUPS):
     else:
         h = _dense_cat(p["block1"]["proj"], x, skip)
     h = _group_norm(h, p["block1"]["norm"], groups).astype(dt)
-    h = h * (film[..., :C] + 1.0) + film[..., C:]
+    if film is not None:
+        h = h * (film[..., :C] + 1.0) + film[..., C:]
     h = jax.nn.silu(h)
     h = _dense(p["block2"]["proj"], h)
     h = jax.nn.silu(_group_norm(h, p["block2"]["norm"], groups).astype(dt))
@@ -288,11 +285,21 @@ def _head_blockmask(heads, dim_head, dtype):
 
 def _seg_softmax_heads(x, heads, dim_head):
     """Softmax within each head's dim_head-channel segment of the last axis,
-    without reshaping to 4-D.  Subtracting the per-row max (a constant within
-    every segment of that row) keeps it exact; segment sums ride the MXU via
-    the block-diagonal ones matrix."""
+    without reshaping to 4-D.  The stabilizing max is the PER-SEGMENT max
+    (four masked row maxes recombined), not the global row max — with a
+    global max, a head whose logits trail another head's by ~88 ln-units
+    would underflow its whole segment to exp()=0 and divide 0/0.  Segment
+    sums ride the MXU via the block-diagonal ones matrix."""
     xf = x.astype(jnp.float32)
-    m = jnp.max(xf, axis=-1, keepdims=True)
+    hd = heads * dim_head
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1).reshape(
+        (1,) * (xf.ndim - 1) + (hd,)
+    ) // dim_head
+    m = jnp.zeros_like(xf)
+    for h in range(heads):
+        sel = lane_head == h
+        mh = jnp.max(jnp.where(sel, xf, -jnp.inf), axis=-1, keepdims=True)
+        m = m + jnp.where(sel, mh, 0.0)
     e = jnp.exp(xf - m)
     denom = jnp.einsum(
         "...x,xy->...y", e, _head_blockmask(heads, dim_head, jnp.float32)
@@ -375,7 +382,7 @@ def fused_unet1d_forward(
     if cond_ctx is None:
         cond_ctx = precompute_conditioning(net, prep, condition, condition_cross)
     groups = net.resnet_block_groups
-    film_c = cond_ctx["film_c"]
+    film_c = cond_ctx["film_c"]  # missing keys -> FiLM-free block (film None)
     cross = cond_ctx["cross"]
 
     def film_t(name):  # (B, 1, 2C) rows gathered from the (T, 2C) table
@@ -401,7 +408,7 @@ def fused_unet1d_forward(
 
     skips = []
     for i in range(n_levels):
-        h = _resblock(blocks[f"down{i}_block0"], h, film_c[f"down{i}_block0"], dt, groups=groups)
+        h = _resblock(blocks[f"down{i}_block0"], h, film_c.get(f"down{i}_block0"), dt, groups=groups)
         h = _resblock(blocks[f"down{i}_block1"], h, film_t(f"down{i}_block1"), dt, groups=groups)
         skips.append(h)
         if net.text_condition:
@@ -418,7 +425,7 @@ def fused_unet1d_forward(
         if i == n_levels - 1:
             h = _dense(misc[f"down{i}_proj"], h)
 
-    h = _resblock(blocks["mid_block0"], h, film_c["mid_block0"], dt, groups=groups)
+    h = _resblock(blocks["mid_block0"], h, film_c.get("mid_block0"), dt, groups=groups)
     h = _resblock(blocks["mid_block1"], h, film_t("mid_block1"), dt, groups=groups)
     if net.text_condition:
         h = h + _cross_attention_step(
@@ -432,7 +439,7 @@ def fused_unet1d_forward(
     h = _resblock(blocks["mid_block2"], h, film_t("mid_block2"), dt, groups=groups)
 
     for j in range(n_levels):
-        h = _resblock(blocks[f"up{j}_block0"], h, film_c[f"up{j}_block0"], dt, groups=groups)
+        h = _resblock(blocks[f"up{j}_block0"], h, film_c.get(f"up{j}_block0"), dt, groups=groups)
         h = _resblock(blocks[f"up{j}_block1"], h, film_t(f"up{j}_block1"), dt,
                       skip=skips.pop(), groups=groups)
         if net.text_condition:

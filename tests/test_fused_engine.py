@@ -110,11 +110,11 @@ def test_fused_sample_path():
         model_mean_type="v", time_num=6, net_kwargs=tuple(sorted(nk.items())))
     scene = SceneDiffusion(cfg)
     params = scene.init(jax.random.PRNGKey(0))
-    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True))(
+    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True))(
         params, jax.random.PRNGKey(1))
-    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True,
+    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                               fused=True))(params, jax.random.PRNGKey(1))
-    assert fused.shape == ref.shape == (2, 12, 62)
+    assert fused.shape == ref.shape == (8, 12, 62)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
 
 
@@ -135,25 +135,25 @@ def test_fused_ddim_matches_flax():
     """DDIM walks a strided timestep subsequence — exercises the FiLM-table
     gather at non-contiguous t values."""
     scene, params = _tiny_scene(time_num=8)
-    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True,
+    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                             ddim=True, ddim_steps=4))(
         params, jax.random.PRNGKey(1))
-    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True,
+    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                               ddim=True, ddim_steps=4, fused=True))(
         params, jax.random.PRNGKey(1))
-    assert fused.shape == ref.shape == (2, 12, 62)
+    assert fused.shape == ref.shape == (8, 12, 62)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
 
 
 def test_fused_trajectory_matches_flax():
     scene, params = _tiny_scene(time_num=6)
-    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True,
+    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                             ret_traj=True, freq=3))(
         params, jax.random.PRNGKey(1))
-    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=2, clip_denoised=True,
+    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                               ret_traj=True, freq=3, fused=True))(
         params, jax.random.PRNGKey(1))
-    assert fused.shape == ref.shape == (3, 2, 12, 62)
+    assert fused.shape == ref.shape == (3, 8, 12, 62)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
 
 
@@ -175,3 +175,24 @@ def test_fused_forward_nondefault_groups():
     inf = prepare_inference_params(net, variables["params"], num_timesteps=8)
     got = fused_unet1d_forward(net, inf, x, t, ctx, exact_gelu=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
+
+
+def test_fused_sample_unconditioned():
+    """No instance/room conditioning at all: the Unet1D has no cond-FiLM
+    mlps and the engine must run those blocks FiLM-free (like Unet1D with
+    emb None)."""
+    nk = dict(dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0,
+              class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
+              instanclass_dim=0, seperate_all=True)
+    cfg = SceneModelConfig(
+        point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
+        objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
+        instance_condition=False, learnable_embedding=False, instance_emb_dim=0,
+        model_mean_type="v", time_num=6, net_kwargs=tuple(sorted(nk.items())))
+    scene = SceneDiffusion(cfg)
+    params = scene.init(jax.random.PRNGKey(0))
+    ref = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True))(
+        params, jax.random.PRNGKey(1))
+    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
+                                              fused=True))(params, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
