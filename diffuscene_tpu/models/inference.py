@@ -143,6 +143,22 @@ def prepare_inference_params(
             prep["misc"][name] = p[name]  # LayerNorm g stays f32
         else:
             prep["misc"][name] = _cast(p[name], dt)
+
+    if net.seperate_all:
+        # all decoder MLPs read the same final feature, so their fc0 layers
+        # are one concatenated matmul + one GELU pass
+        dec = ["bbox_hidden2output", "class_hidden2output"]
+        if net.objectness_dim > 0:
+            dec.append("objectness_hidden2output")
+        if net.objfeat_dim > 0:
+            dec.append("objfeat_hidden2output")
+        prep["dec_names"] = tuple(dec)
+        prep["dec_fc0"] = {
+            "kernel": jnp.concatenate(
+                [prep["misc"][n]["fc0"]["kernel"] for n in dec], axis=1),
+            "bias": jnp.concatenate(
+                [prep["misc"][n]["fc0"]["bias"] for n in dec], axis=0),
+        }
     return prep
 
 
@@ -327,15 +343,23 @@ def _linear_attention(p, x, dt, heads=4, dim_head=32):
 
 
 def _full_attention(p, x, heads=4, dim_head=32):
+    """Full softmax attention (denoise_net.py:237-259) without 4-D head
+    tensors: per head, the (N x N) scores come from a head-masked 128-wide
+    contraction, and masking v the same way makes the outputs accumulate
+    into disjoint channel blocks.  N <= 21, so the per-head (B, N, N)
+    intermediates are tiny."""
     B, N, C = x.shape
+    hd = heads * dim_head
     qkv = jnp.einsum("bnc,ch->bnh", x, p["to_qkv"]["kernel"])
-    q, k, v = jnp.split(qkv, 3, axis=-1)
-    shape4 = (B, N, heads, dim_head)
-    q = q.reshape(shape4) * (dim_head**-0.5)
-    k, v = k.reshape(shape4), v.reshape(shape4)
-    sim = jnp.einsum("bihd,bjhd->bhij", q, k)
-    attn = jax.nn.softmax(sim, axis=-1)
-    out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, heads * dim_head)
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H*D)
+    q = q * (dim_head**-0.5)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hd), 2) // dim_head
+    out = jnp.zeros_like(v)
+    for h in range(heads):
+        sel = (lane_head == h).astype(q.dtype)
+        sim = jnp.einsum("bix,bjx->bij", q * sel, k)  # k's other-head lanes zeroed by q*sel
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = out + jnp.einsum("bij,bjy->biy", attn, v * sel)
     return _dense(p["to_out"], out)
 
 
@@ -459,13 +483,16 @@ def fused_unet1d_forward(
     h = _resblock(blocks["final_res_block"], h, film_t("final_res_block"), dt, skip=r, groups=groups)
 
     if net.seperate_all:
-        out = jnp.concatenate(
-            [_mlp3(misc["bbox_hidden2output"], h, exact_gelu),
-             _mlp3(misc["class_hidden2output"], h, exact_gelu)], axis=-1)
-        if net.objectness_dim > 0:
-            out = jnp.concatenate([out, _mlp3(misc["objectness_hidden2output"], h, exact_gelu)], axis=-1)
-        if net.objfeat_dim > 0:
-            out = jnp.concatenate([out, _mlp3(misc["objfeat_hidden2output"], h, exact_gelu)], axis=-1)
+        h0 = jax.nn.gelu(_dense(prep["dec_fc0"], h), approximate=not exact_gelu)
+        outs, ofs = [], 0
+        for name in prep["dec_names"]:
+            pdec = misc[name]
+            w = pdec["fc0"]["kernel"].shape[1]
+            hi = h0[..., ofs : ofs + w]
+            ofs += w
+            hi = jax.nn.gelu(_dense(pdec["fc1"], hi), approximate=not exact_gelu)
+            outs.append(_dense(pdec["fc2"], hi))
+        out = jnp.concatenate(outs, axis=-1)
     else:
         out = _dense(misc["final_conv"], h)
     return out.astype(jnp.float32)
