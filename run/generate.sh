@@ -9,5 +9,5 @@ OUT=${3:-generated/${ROOM}}
 python -m diffuscene_tpu.cli.generate_diffusion \
     configs/uncond/diffusion_${ROOM}_instancond_lat32_v.yaml \
     "$OUT" --weight_file "$WEIGHTS" \
-    --n_sequences 1000 --batch_size 128 --clip_denoised \
+    --n_sequences 1000 --batch_size 256 --clip_denoised --fused \
     --render --compute_intersec

@@ -7,4 +7,4 @@ OUT=${3:-rearranged/${ROOM}}
 python -m diffuscene_tpu.cli.completion_rearrange \
     configs/rearrange/diffusion_${ROOM}_instancond_lat32_v_rearrange.yaml \
     "$OUT" --weight_file "$WEIGHTS" --arrange_objects \
-    --n_sequences 100 --batch_size 32 --clip_denoised --render
+    --n_sequences 100 --batch_size 32 --clip_denoised --fused --render
