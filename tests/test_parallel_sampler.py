@@ -47,3 +47,18 @@ def test_sharded_sampler_text():
     out = sampler.sample(params, jax.random.PRNGKey(2), batch_size=8, text_emb=text)
     assert out.shape == (8, 12, 62)
     assert np.isfinite(out).all()
+
+
+def test_sharded_sampler_fused():
+    """Fused serving engine under the 8-device sharded sampler: matches the
+    plain sharded path to engine tolerance."""
+    scene, params = _tiny_scene()
+    mesh = make_mesh()
+    plain = ShardedSampler(scene, mesh)
+    fused = ShardedSampler(scene, mesh, fused=True)
+    p = plain.put_params(params)
+    out_plain = plain.sample(p, jax.random.PRNGKey(2), batch_size=16)
+    out_fused = fused.sample(p, jax.random.PRNGKey(2), batch_size=16)
+    assert out_fused.shape == (16, 12, 62)
+    np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                               atol=5e-3, rtol=1e-2)
