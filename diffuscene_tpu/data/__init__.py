@@ -9,7 +9,8 @@ from .encoding import (
     scale_sample,
 )
 from .loader import DataLoader, EncodedDataset, collate
-from .factory import get_dataset_raw_and_encoded, get_encoded_dataset, get_raw_dataset
+from .factory import (get_dataset_raw_and_encoded, get_encoded_dataset,
+                      get_raw_dataset, text_emb_dim_for_network)
 from .filters import filter_compose, filter_function, load_furniture_map
 from .raw import (
     Room,

@@ -311,6 +311,8 @@ class EncodingPipeline:
     augmentations: Sequence[str] = ()
     add_text: bool = False
     text_eval: bool = False
+    text_emb_dim: int = 50   # 50 GloVe-style | 768 BERT-style | 512 CLIP
+    glove_path: Optional[str] = None
     box_ordering: Optional[str] = None
     eval_mode: bool = False  # "eval" in name: stop after scaling
     mode: str = "diffusion"  # "diffusion" | "autoregressive" | "autoregressive_wocm"
@@ -326,7 +328,8 @@ class EncodingPipeline:
             from .text import TextDescriptionGenerator
 
             self._text_encoder = TextDescriptionGenerator(
-                self.class_labels, eval=self.text_eval
+                self.class_labels, eval=self.text_eval,
+                emb_dim=self.text_emb_dim, glove_path=self.glove_path,
             )
 
     def reseed(self, seed: int):
@@ -372,6 +375,8 @@ def build_encoding(
     class_frequencies: Dict[str, float],
     augmentations: Sequence[str] = (),
     box_ordering: Optional[str] = None,
+    text_emb_dim: int = 50,
+    glove_path: Optional[str] = None,
     seed: int = 0,
 ) -> EncodingPipeline:
     """Parse the reference `encoding_type` micro-DSL into a pipeline.
@@ -405,6 +410,8 @@ def build_encoding(
         augmentations=augmentations,
         add_text="text" in name,
         text_eval="textfix" in name,
+        text_emb_dim=text_emb_dim,
+        glove_path=glove_path,
         box_ordering=box_ordering,
         eval_mode="eval" in name,
         seed=seed,

@@ -57,9 +57,24 @@ def get_dataset_raw_and_encoded(
         class_frequencies=raw.class_frequencies,
         augmentations=augmentations if augmentations is not None else config.get("augmentations", ()),
         box_ordering=config.get("box_ordering", None),
+        text_emb_dim=int(config.get("text_emb_dim", 50)),
+        glove_path=config.get("glove_path", None),
         seed=seed,
     )
     return raw, EncodedDataset(raw, encoding)
+
+
+def text_emb_dim_for_network(network: Dict) -> int:
+    """Token-embedding width implied by the network's text flags, so the data
+    pipeline and the model's fc_text_f projection agree (the reference embeds
+    with GloVe-50 at train time and runs frozen BERT-768 in the model,
+    diffusion_scene_layout_ddpm.py:47-52,210-221; here both are precomputed
+    host-side)."""
+    if network.get("text_glove_embedding"):
+        return 50
+    if network.get("text_clip_embedding"):
+        return 512
+    return 768  # BERT-style token embeddings
 
 
 def get_encoded_dataset(config: Dict, augmentations=None,

@@ -117,3 +117,33 @@ def test_text_conditioned_train_step():
     assert "text_emb" in batch
     state, metrics = trainer.train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_text_emb_dim_flows_from_network_flags(tmp_path):
+    """BERT-style configs (no glove/clip flag) must make the data pipeline
+    emit 768-d token embeddings to match the model's fc_text_f input
+    (regression: train CLI crashed with a (50,512) vs (768,512) shape error
+    when the config implied BERT but the pipeline defaulted to GloVe-50)."""
+    from diffuscene_tpu.data import make_synthetic_cached_dataset
+    from diffuscene_tpu.data.factory import (
+        get_dataset_raw_and_encoded, text_emb_dim_for_network,
+    )
+
+    assert text_emb_dim_for_network({}) == 768
+    assert text_emb_dim_for_network({"text_glove_embedding": True}) == 50
+    assert text_emb_dim_for_network({"text_clip_embedding": True}) == 512
+
+    data_dir = str(tmp_path / "cached")
+    make_synthetic_cached_dataset(data_dir, n_scenes=8, max_objects=12, seed=0)
+    cfg = {
+        "dataset_type": "cached_threedfront",
+        "encoding_type": "cached_diffusion_text_cosin_angle_objfeatsnorm_lat32_wocm",
+        "dataset_directory": data_dir,
+        "annotation_file": data_dir + "/splits.csv",
+        "train_stats": "dataset_stats.txt",
+        "max_length": 12,
+        "text_emb_dim": text_emb_dim_for_network({"text_condition": True}),
+    }
+    _, ds = get_dataset_raw_and_encoded(cfg, split=("train",))
+    s = ds[0]
+    assert s["desc_emb"].shape[-1] == 768
