@@ -137,3 +137,66 @@ def test_fid_ipr_cli(synth_config, capsys):
     out = capsys.readouterr().out
     payload = json.loads(out.strip().splitlines()[-1])
     assert payload["precision"] == 1.0 and payload["recall"] == 1.0
+
+
+def test_text_cli_end_to_end(tmp_path):
+    """BERT-style text config through train + generate CLIs: the derived
+    768-d embedding width must match fc_text_f (regression for the
+    (50,512)-vs-(768,512) crash fixed in c8d6a9d)."""
+    from diffuscene_tpu.cli.generate_diffusion import main as gen_main
+    from diffuscene_tpu.cli.train_diffusion import main as train_main
+
+    data_dir = str(tmp_path / "cached")
+    make_synthetic_cached_dataset(data_dir, n_scenes=24, max_objects=12, seed=0)
+    cfg = {
+        "data": {
+            "dataset_type": "cached_threedfront",
+            "encoding_type": "cached_diffusion_text_cosin_angle_objfeatsnorm_lat32_wocm",
+            "dataset_directory": data_dir,
+            "annotation_file": os.path.join(data_dir, "splits.csv"),
+            "augmentations": ["fixed_rotations"],
+            "train_stats": "dataset_stats.txt",
+            "room_layout_size": "64,64",
+            "max_length": 12,
+        },
+        "network": {
+            "type": "diffusion_scene_layout_ddpm",
+            "net_type": "unet1d",
+            "point_dim": 62, "room_mask_condition": False,
+            "sample_num_points": 12, "objectness_dim": 0, "class_dim": 22,
+            "angle_dim": 2, "objfeat_dim": 32, "learnable_embedding": True,
+            "instance_condition": True, "instance_emb_dim": 16,
+            "text_condition": True, "text_embed_dim": 32,
+            "diffusion_kwargs": {
+                "schedule_type": "linear", "time_num": 6,
+                "model_mean_type": "v", "model_var_type": "fixedsmall",
+                "loss_separate": True, "loss_iou": False,
+            },
+            "net_kwargs": {
+                "dim": 32, "dim_mults": [1, 1], "channels": 62,
+                "objectness_dim": 0, "class_dim": 22, "angle_dim": 2,
+                "objfeat_dim": 32, "context_dim": 0, "instanclass_dim": 16,
+                "seperate_all": True, "text_condition": True, "text_dim": 32,
+            },
+        },
+        "feature_extractor": {"name": "resnet18", "feature_size": 64},
+        "training": {
+            "splits": ["train", "val"], "epochs": 1, "batch_size": 8,
+            "save_frequency": 1, "max_grad_norm": 10, "optimizer": "Adam",
+            "schedule": "step", "lr": 2e-4, "lr_step": 10000, "lr_decay": 0.5,
+        },
+        "validation": {"splits": ["test"], "frequency": 5, "batch_size": 8},
+        "logger": {"type": "stats"},
+    }
+    cfg_path = str(tmp_path / "config.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    out = str(tmp_path / "out")
+    train_main([cfg_path, out, "--experiment_tag", "txt", "--seed", "0"])
+    gen_dir = str(tmp_path / "gen")
+    gen_main([cfg_path, gen_dir, "--weight_file", os.path.join(out, "txt"),
+              "--n_sequences", "2", "--batch_size", "8", "--render", "--fused"])
+    assert len([f for f in os.listdir(gen_dir) if f.endswith(".png")]) == 2
+    # descriptions dumped alongside the renders
+    assert os.path.isfile(os.path.join(gen_dir, "descriptions.json")) or any(
+        f.endswith(".txt") or f.endswith(".json") for f in os.listdir(gen_dir))
