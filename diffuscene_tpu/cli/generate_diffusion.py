@@ -27,6 +27,9 @@ def main(argv=None):
     parser.add_argument("--clip_denoised", action="store_true")
     parser.add_argument("--ddim", action="store_true")
     parser.add_argument("--ddim_steps", type=int, default=50)
+    parser.add_argument("--dpm", action="store_true",
+                        help="DPM-Solver++(2M) fast sampling (not in the reference)")
+    parser.add_argument("--dpm_steps", type=int, default=20)
     parser.add_argument("--fused", action="store_true",
                         help="use the fused serving engine (models/inference.py)")
     parser.add_argument("--retrive_objfeats", action="store_true",
@@ -103,6 +106,7 @@ def main(argv=None):
         return scene.sample(params, key, batch_size=args.batch_size,
                             text_emb=text_emb, clip_denoised=args.clip_denoised,
                             ddim=args.ddim, ddim_steps=args.ddim_steps,
+                            dpm=args.dpm, dpm_steps=args.dpm_steps,
                             fused=args.fused)
 
     all_boxes = []

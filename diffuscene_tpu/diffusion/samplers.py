@@ -171,6 +171,77 @@ def ddim_sample_loop(
     return x_0
 
 
+def dpm_solver_sample_loop(
+    sched: DiffusionSchedule,
+    model_mean_type: str,
+    denoise_fn: DenoiseFn,
+    shape: Tuple[int, ...],
+    key: jax.Array,
+    sampling_timesteps: int = 20,
+    clip_denoised: bool = True,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) sampling (Lu et al., arXiv 2211.01095) as one scan.
+
+    A TPU-native fast sampler the reference does not ship: a second-order
+    multistep ODE solver in data-prediction form, giving near-1000-step DDPM
+    sample quality in ~20-50 model evaluations.  Shares the denoiser and
+    timestep spacing conventions with ``ddim_sample_loop``.
+
+    Update rule (data prediction, sigma_t = sqrt(1 - alpha_bar_t),
+    a_t = sqrt(alpha_bar_t), lambda_t = log(a_t / sigma_t)):
+
+        x_{i+1} = (sigma_{i+1}/sigma_i) x_i - a_{i+1} (e^{-h_i} - 1) D_i
+        D_i     = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}   (first step: x0_i)
+
+    with h_i = lambda_{i+1} - lambda_i and r_i = h_{i-1}/h_i.  The final
+    boundary (t_next = -1, alpha_bar = 1) makes e^{-h} = 0 exactly, so the
+    last update returns D (no special-casing needed); e^{-h} is computed as
+    the stable ratio (a_i sigma_{i+1})/(a_{i+1} sigma_i).
+    """
+    import numpy as np
+
+    T = sched.num_timesteps
+    times = np.linspace(-1, T - 1, num=sampling_timesteps + 1).astype(np.int32)
+    times = list(reversed(times.tolist()))
+    time_pairs = np.array(list(zip(times[:-1], times[1:])), dtype=np.int32)  # (S, 2)
+
+    key, init_key = jax.random.split(key)
+    x_T = jax.random.normal(init_key, shape, dtype=jnp.float32)
+
+    acp = jnp.concatenate([sched.alphas_cumprod, jnp.ones((1,), sched.alphas_cumprod.dtype)])
+    a_all = jnp.sqrt(acp)
+    sig_all = jnp.sqrt(jnp.clip(1.0 - acp, 1e-20, None))
+    lam_all = jnp.log(a_all) - jnp.log(sig_all)
+
+    def x0_of(x, t):
+        model_output = denoise_fn(x, t)
+        _, x_start = model_predictions(
+            sched, model_mean_type, model_output, x, t, clip_x_start=clip_denoised
+        )
+        return x_start
+
+    def body(carry, pair):
+        x, x0_prev, h_prev, is_first = carry
+        time, time_next = pair[0], pair[1]
+        t = jnp.full((shape[0],), time, dtype=jnp.int32)
+        x0 = x0_of(x, t)
+        a_i, a_n = a_all[time], a_all[time_next]
+        s_i, s_n = sig_all[time], sig_all[time_next]
+        h = lam_all[time_next] - lam_all[time]
+        r = h_prev / h
+        d_second = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
+        d = jnp.where(is_first, x0, d_second)
+        exp_mh = (a_i * s_n) / (a_n * s_i)  # e^{-h}, exactly 0 at the final boundary
+        x_new = (s_n / s_i) * x - a_n * (exp_mh - 1.0) * d
+        return (x_new, x0, h, jnp.zeros_like(is_first)), None
+
+    is_first = jnp.ones((), bool)
+    (x_0, _, _, _), _ = jax.lax.scan(
+        body, (x_T, jnp.zeros_like(x_T), jnp.ones(()), is_first), jnp.asarray(time_pairs)
+    )
+    return x_0
+
+
 def p_sample_loop_complete(
     sched: DiffusionSchedule,
     model_mean_type: str,

@@ -451,6 +451,8 @@ class SceneDiffusion:
         ddim: bool = False,
         ddim_steps: int = 50,
         ddim_eta: float = 0.0,
+        dpm: bool = False,
+        dpm_steps: int = 20,
         fused: bool = False,
     ) -> jnp.ndarray:
         """Unified sampling entry (diffusion_scene_layout_ddpm.py:228-310)."""
@@ -498,6 +500,10 @@ class SceneDiffusion:
         if partial_boxes is not None:
             return S.p_sample_loop_complete(
                 self.sched, mmt, mvt, fn, shape, key, partial_boxes, clip_denoised
+            )
+        if dpm:
+            return S.dpm_solver_sample_loop(
+                self.sched, mmt, fn, shape, key, dpm_steps, clip_denoised
             )
         if ddim:
             return S.ddim_sample_loop(

@@ -29,3 +29,38 @@ def test_trajectory_sampler_frames():
     # 1 initial frame + T/freq frames
     assert frames.shape == (1 + 4, 2, 4, 6)
     assert np.isfinite(np.asarray(frames)).all()
+
+
+def test_dpm_solver_sampling():
+    """DPM-Solver++(2M): runs as one scan, deterministic per key, and both
+    plain and fused engines agree."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
+
+    nk = dict(dim=32, dim_mults=(1, 1), channels=62, objectness_dim=0,
+              class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
+              instanclass_dim=16, seperate_all=True)
+    cfg = SceneModelConfig(
+        point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
+        objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
+        instance_condition=True, learnable_embedding=True, instance_emb_dim=16,
+        model_mean_type="v", time_num=12, net_kwargs=tuple(sorted(nk.items())))
+    scene = SceneDiffusion(cfg)
+    params = scene.init(jax.random.PRNGKey(0))
+    f = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
+                                          dpm=True, dpm_steps=6))
+    out = f(params, jax.random.PRNGKey(1))
+    assert out.shape == (8, 12, 62)
+    assert np.isfinite(np.asarray(out)).all()
+    out2 = f(params, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
+                                              dpm=True, dpm_steps=6, fused=True))(
+        params, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(out), atol=5e-3, rtol=1e-2)
+    # with clip_denoised the x0 predictions are clamped to [-1, 1]; the final
+    # DPM boundary returns a combination of x0 estimates, so samples stay
+    # within a modest envelope of the data range
+    assert np.abs(np.asarray(out)).max() < 2.5
