@@ -22,7 +22,8 @@ class ShardedSampler:
     """Jitted, mesh-sharded wrapper over SceneDiffusion.sample."""
 
     def __init__(self, scene: SceneDiffusion, mesh=None, clip_denoised: bool = True,
-                 ddim: bool = False, ddim_steps: int = 50, fused: bool = False):
+                 ddim: bool = False, ddim_steps: int = 50,
+                 dpm: bool = False, dpm_steps: int = 20, fused: bool = False):
         self.scene = scene
         self.mesh = mesh if mesh is not None else make_mesh()
         self.n_data = self.mesh.shape["data"]
@@ -32,6 +33,8 @@ class ShardedSampler:
         self.clip_denoised = clip_denoised
         self.ddim = ddim
         self.ddim_steps = ddim_steps
+        self.dpm = dpm
+        self.dpm_steps = dpm_steps
         self.fused = fused
 
     def _fn(self, batch_size: int):
@@ -41,7 +44,8 @@ class ShardedSampler:
                 return self.scene.sample(
                     params, key, batch_size=batch_size, text_emb=text_emb,
                     clip_denoised=self.clip_denoised,
-                    ddim=self.ddim, ddim_steps=self.ddim_steps, fused=self.fused,
+                    ddim=self.ddim, ddim_steps=self.ddim_steps,
+                    dpm=self.dpm, dpm_steps=self.dpm_steps, fused=self.fused,
                 )
 
             fn = jax.jit(

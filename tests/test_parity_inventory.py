@@ -46,6 +46,8 @@ INVENTORY = [
      "diffuscene_tpu.diffusion", "p_sample_loop_trajectory"),
     ("ddim_sample_loop, fixed (diffusion_ddpm.py:401-444)",
      "diffuscene_tpu.diffusion", "ddim_sample_loop"),
+    ("— (TPU-native addition: fast ODE sampler)",
+     "diffuscene_tpu.diffusion", "dpm_solver_sample_loop"),
     ("p_sample_loop_complete / RePaint splice (diffusion_ddpm.py:447-476)",
      "diffuscene_tpu.diffusion", "p_sample_loop_complete"),
     ("p_sample_loop_arrange 5-channel (diffusion_ddpm.py:478-506)",
