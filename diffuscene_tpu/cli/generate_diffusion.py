@@ -51,13 +51,9 @@ def main(argv=None):
     from ..utils import load_config, load_checkpoint
 
     config = load_config(args.config_file)
-    # keep the data pipeline's text-embedding width consistent with the
-    # network's text flags (fc_text_f input dim)
-    if config.get("network", {}).get("text_condition"):
-        from ..data.factory import text_emb_dim_for_network
+    from ..data.factory import apply_text_emb_dim_default
 
-        config["data"].setdefault(
-            "text_emb_dim", text_emb_dim_for_network(config["network"]))
+    apply_text_emb_dim_default(config)
     os.makedirs(args.output_directory, exist_ok=True)
 
     # eval-time encoding rewrite (generate_diffusion.py:201-208):

@@ -42,13 +42,9 @@ def main(argv=None):
     )
 
     config = load_config(args.config_file)
-    # keep the data pipeline's text-embedding width consistent with the
-    # network's text flags (fc_text_f input dim)
-    if config.get("network", {}).get("text_condition"):
-        from ..data.factory import text_emb_dim_for_network
+    from ..data.factory import apply_text_emb_dim_default
 
-        config["data"].setdefault(
-            "text_emb_dim", text_emb_dim_for_network(config["network"]))
+    apply_text_emb_dim_default(config)
     np.random.seed(args.seed)
 
     experiment_tag = args.experiment_tag or os.path.basename(args.config_file).rsplit(".", 1)[0]

@@ -77,6 +77,16 @@ def text_emb_dim_for_network(network: Dict) -> int:
     return 768  # BERT-style token embeddings
 
 
+def apply_text_emb_dim_default(config: Dict) -> Dict:
+    """Derive ``data.text_emb_dim`` from the network's text flags on a full
+    (reference-format) config, in place.  Single entry point for every CLI so
+    the data pipeline and fc_text_f can never disagree."""
+    if config.get("network", {}).get("text_condition"):
+        config.setdefault("data", {}).setdefault(
+            "text_emb_dim", text_emb_dim_for_network(config["network"]))
+    return config
+
+
 def get_encoded_dataset(config: Dict, augmentations=None,
                         split=("train", "val"), max_length=None, seed: int = 0) -> EncodedDataset:
     _, enc = get_dataset_raw_and_encoded(config, augmentations, split, max_length, seed)

@@ -252,6 +252,12 @@ class GloveEmbedder:
                 if len(parts) != dim + 1:
                     continue
                 self.table[parts[0]] = np.asarray(parts[1:], np.float32)
+        if not self.table:
+            raise ValueError(
+                f"no {dim}-d vectors found in {path!r} — the requested "
+                f"embedding width does not match the GloVe file (every token "
+                f"would silently embed to zeros)"
+            )
         self._zero = np.zeros(dim, np.float32)
 
     def __call__(self, token: str) -> np.ndarray:

@@ -193,10 +193,17 @@ def dpm_solver_sample_loop(
         x_{i+1} = (sigma_{i+1}/sigma_i) x_i - a_{i+1} (e^{-h_i} - 1) D_i
         D_i     = (1 + 1/(2 r_i)) x0_i - 1/(2 r_i) x0_{i-1}   (first step: x0_i)
 
-    with h_i = lambda_{i+1} - lambda_i and r_i = h_{i-1}/h_i.  The final
-    boundary (t_next = -1, alpha_bar = 1) makes e^{-h} = 0 exactly, so the
-    last update returns D (no special-casing needed); e^{-h} is computed as
-    the stable ratio (a_i sigma_{i+1})/(a_{i+1} sigma_i).
+    with h_i = lambda_{i+1} - lambda_i and r_i = h_{i-1}/h_i.  e^{-h} is
+    computed as the stable ratio (a_i sigma_{i+1})/(a_{i+1} sigma_i), which
+    is exactly 0 at the final boundary (t_next = -1, alpha_bar = 1).
+
+    Degenerate steps fall back to first order (D = x0):
+    - the final boundary step — its h depends only on the numerical clip of
+      sigma at alpha_bar = 1, so the second-order extrapolation coefficient
+      there is an artifact (the "lower_order_final" rule of standard
+      DPM-Solver implementations); the last update then returns x0 exactly;
+    - h == 0 or h_prev == 0 (duplicate integer timesteps, which happen when
+      sampling_timesteps > num_timesteps) — r would be 0/inf and D NaN.
     """
     import numpy as np
 
@@ -228,9 +235,12 @@ def dpm_solver_sample_loop(
         a_i, a_n = a_all[time], a_all[time_next]
         s_i, s_n = sig_all[time], sig_all[time_next]
         h = lam_all[time_next] - lam_all[time]
-        r = h_prev / h
-        d_second = (1.0 + 1.0 / (2.0 * r)) * x0 - (1.0 / (2.0 * r)) * x0_prev
-        d = jnp.where(is_first, x0, d_second)
+        h_safe = jnp.where(h == 0.0, 1.0, h)
+        r = h_prev / h_safe
+        r_safe = jnp.where(r == 0.0, 1.0, r)
+        d_second = (1.0 + 1.0 / (2.0 * r_safe)) * x0 - (1.0 / (2.0 * r_safe)) * x0_prev
+        first_order = is_first | (time_next < 0) | (h == 0.0) | (h_prev == 0.0)
+        d = jnp.where(first_order, x0, d_second)
         exp_mh = (a_i * s_n) / (a_n * s_i)  # e^{-h}, exactly 0 at the final boundary
         x_new = (s_n / s_i) * x - a_n * (exp_mh - 1.0) * d
         return (x_new, x0, h, jnp.zeros_like(is_first)), None

@@ -330,7 +330,11 @@ class SceneDiffusion:
         if cfg.room_mask_condition:
             kwargs["room_layout"] = jnp.zeros((batch_size, 64, 64, 1), jnp.float32)
         if cfg.text_condition:
-            tdim = 50 if cfg.text_glove_embedding else (512 if cfg.text_clip_embedding else 768)
+            from ..data.factory import text_emb_dim_for_network  # single source
+
+            tdim = text_emb_dim_for_network(
+                {"text_glove_embedding": cfg.text_glove_embedding,
+                 "text_clip_embedding": cfg.text_clip_embedding})
             kwargs["text_emb"] = jnp.zeros((batch_size, 16, tdim), jnp.float32)
         if cfg.room_partial_condition:
             kwargs["partial_input"] = jnp.zeros((batch_size, N, cfg.point_dim), jnp.float32)

@@ -197,6 +197,7 @@ def test_text_cli_end_to_end(tmp_path):
     gen_main([cfg_path, gen_dir, "--weight_file", os.path.join(out, "txt"),
               "--n_sequences", "2", "--batch_size", "8", "--render", "--fused"])
     assert len([f for f in os.listdir(gen_dir) if f.endswith(".png")]) == 2
-    # descriptions dumped alongside the renders
-    assert os.path.isfile(os.path.join(gen_dir, "descriptions.json")) or any(
-        f.endswith(".txt") or f.endswith(".json") for f in os.listdir(gen_dir))
+    # per-scene description dumps alongside the renders
+    txts = [f for f in os.listdir(gen_dir) if f.endswith(".txt")]
+    assert len(txts) == 2, txts
+    assert open(os.path.join(gen_dir, txts[0])).read().strip()
