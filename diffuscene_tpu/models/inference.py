@@ -282,6 +282,10 @@ def _resblock(p, x, film, dt, *, groups: int, skip=None):
     h = jax.nn.silu(_group_norm(h, p["block2"]["norm"], groups).astype(dt))
     if "res_conv" in p:
         res = _dense(p["res_conv"], x) if skip is None else _dense_cat(p["res_conv"], x, skip)
+    elif skip is not None:
+        # identity residual over the implicit concat input (possible when
+        # concat width == block width, e.g. non-unit dim_mults)
+        res = jnp.concatenate([x, skip], axis=-1)
     else:
         res = x
     return h + res

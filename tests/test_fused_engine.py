@@ -196,3 +196,25 @@ def test_fused_sample_unconditioned():
     fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                               fused=True))(params, jax.random.PRNGKey(1))
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
+
+
+def test_fused_forward_nonunit_dim_mults():
+    """dim_mults=(1,2): the up-path concat width equals the block width, so
+    ResnetBlock has no res_conv and the residual must be the full concat
+    (regression: the engine used only the first half)."""
+    net = Unet1D(
+        dim=32, dim_mults=(1, 2), channels=62, objectness_dim=0, class_dim=22,
+        translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
+        context_dim=0, instanclass_dim=16, seperate_all=True,
+        compute_dtype=jnp.float32,
+    )
+    B, N, D = 2, 12, 62
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(0, 1, (B, N, D)), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.normal(0, 1, (B, N, 16)), jnp.float32)
+    variables = net.init(jax.random.PRNGKey(0), x, t, ctx)
+    want = net.apply(variables, x, t, ctx)
+    inf = prepare_inference_params(net, variables["params"], num_timesteps=8)
+    got = fused_unet1d_forward(net, inf, x, t, ctx, exact_gelu=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
