@@ -147,3 +147,22 @@ def test_text_emb_dim_flows_from_network_flags(tmp_path):
     _, ds = get_dataset_raw_and_encoded(cfg, split=("train",))
     s = ds[0]
     assert s["desc_emb"].shape[-1] == 768
+
+
+def test_apply_text_emb_dim_default():
+    from diffuscene_tpu.data.factory import apply_text_emb_dim_default
+
+    cfg = {"network": {"text_condition": True}, "data": {}}
+    apply_text_emb_dim_default(cfg)
+    assert cfg["data"]["text_emb_dim"] == 768
+    cfg = {"network": {"text_condition": True, "text_glove_embedding": True}, "data": {}}
+    apply_text_emb_dim_default(cfg)
+    assert cfg["data"]["text_emb_dim"] == 50
+    # explicit user setting wins
+    cfg = {"network": {"text_condition": True}, "data": {"text_emb_dim": 50}}
+    apply_text_emb_dim_default(cfg)
+    assert cfg["data"]["text_emb_dim"] == 50
+    # non-text configs untouched
+    cfg = {"network": {}, "data": {}}
+    apply_text_emb_dim_default(cfg)
+    assert "text_emb_dim" not in cfg["data"]
