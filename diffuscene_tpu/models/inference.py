@@ -22,7 +22,7 @@ not depend on the current sample ``x`` is hoisted OUT of the per-step work:
   op runs in the compute dtype with f32 normalization statistics.
 
 The per-step forward is then: per-attribute encoders, 19 ResnetBlocks (two
-MXU matmuls each + f32 GroupNorm), 9 linear self-attentions, 1 full
+MXU matmuls each + f32 GroupNorm), 8 linear self-attentions, 1 full
 attention, per-attribute decoders — all large-batch MXU matmuls.
 
 Parity with the Flax forward is enforced by tests/test_fused_engine.py.
