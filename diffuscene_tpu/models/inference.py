@@ -87,13 +87,18 @@ def _cond_block_names(n_levels: int):
 def prepare_inference_params(
     net: Unet1D,
     denoiser_params: Dict[str, Any],
-    num_timesteps: int = 1000,
+    num_timesteps: int,
 ) -> Dict[str, Any]:
     """Build the serving parameter tree from a Flax ``Unet1D`` param tree.
 
     Standardizes every WSDense kernel once, casts all matmul weights to the
     compute dtype, and precomputes the per-resblock time-FiLM tables for all
     ``num_timesteps`` integer timesteps.
+
+    ``num_timesteps`` MUST equal the sampling schedule length: under jit the
+    FiLM-table gather in ``fused_unet1d_forward`` clamps out-of-range
+    timesteps, so an undersized table silently yields wrong time embeddings
+    (that is why there is no default).
     """
     dt = net.compute_dtype
     p = denoiser_params

@@ -459,7 +459,17 @@ class SceneDiffusion:
         dpm_steps: int = 20,
         fused: bool = False,
     ) -> jnp.ndarray:
-        """Unified sampling entry (diffusion_scene_layout_ddpm.py:228-310)."""
+        """Unified sampling entry (diffusion_scene_layout_ddpm.py:228-310).
+
+        Completion (``partial_boxes``) and rearrangement (``input_boxes``)
+        use dedicated ancestral chains (RePaint splice / arrange splice), so
+        they cannot be combined with the ``ddim``/``dpm`` fast samplers.
+        """
+        if (partial_boxes is not None or input_boxes is not None) and (ddim or dpm):
+            raise ValueError(
+                "ddim/dpm fast sampling is not supported for completion "
+                "(partial_boxes) or rearrangement (input_boxes): those tasks "
+                "run dedicated ancestral splice chains")
         cfg = self.cfg
         N, D = cfg.sample_num_points, cfg.point_dim
         kwargs = {}

@@ -89,7 +89,7 @@ def test_fused_forward_matches_flax(text, exact_gelu):
 
     variables = net.init(jax.random.PRNGKey(0), x, t, ctx, cc)
     want = net.apply(variables, x, t, ctx, cc)
-    inf = prepare_inference_params(net, variables["params"])
+    inf = prepare_inference_params(net, variables["params"], num_timesteps=16)
     got = fused_unet1d_forward(net, inf, x, t, ctx, cc, exact_gelu=exact_gelu)
     if exact_gelu:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3)
