@@ -21,11 +21,13 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..eval.fid import (
-        InceptionFeatures, PixelFeatures, compute_fid_folders, compute_kid_folders,
+        JaxInceptionFeatures, PixelFeatures, compute_fid_folders, compute_kid_folders,
     )
 
     if args.features == "inception":
-        fn = InceptionFeatures(args.inception_weights)
+        # pure-JAX InceptionV3 (no torchvision); raises FileNotFoundError
+        # loudly instead of silently printing a pixel-FID number
+        fn = JaxInceptionFeatures(args.inception_weights)
     else:
         fn = PixelFeatures()
         print("WARNING: pixel features are not comparable to published "

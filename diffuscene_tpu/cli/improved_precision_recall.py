@@ -17,7 +17,12 @@ def main(argv=None):
     parser.add_argument("--batch_size", type=int, default=100)
     parser.add_argument("--k", type=int, default=3)
     parser.add_argument("--num_samples", type=int, default=5000)
-    parser.add_argument("--features", choices=["pixel", "inception"], default="pixel")
+    parser.add_argument("--features", choices=["pixel", "vgg", "inception"],
+                        default="pixel",
+                        help="'vgg' = the reference's VGG16-fc2 features via "
+                        "the pure-JAX backbone (needs --vgg_weights)")
+    parser.add_argument("--vgg_weights", default=None,
+                        help="torchvision vgg16 state_dict (.pth) or .npz")
     parser.add_argument("--inception_weights", default=None)
     parser.add_argument("--toy", action="store_true",
                         help="self-check of the IPR math on synthetic gaussians "
@@ -36,14 +41,20 @@ def main(argv=None):
         print(json.dumps({"toy": True, "precision": pr.precision, "recall": pr.recall}))
         return
 
-    if args.features == "inception":
-        from ..eval.fid import InceptionFeatures
+    if args.features == "vgg":
+        from ..eval.fid import JaxVGG16Features
 
-        fn = InceptionFeatures(args.inception_weights)
+        fn = JaxVGG16Features(args.vgg_weights)  # raises loudly if no weights
+    elif args.features == "inception":
+        from ..eval.fid import JaxInceptionFeatures
+
+        fn = JaxInceptionFeatures(args.inception_weights)
     else:
         from ..eval.fid import PixelFeatures
 
         fn = PixelFeatures()
+        print("WARNING: pixel features are NOT comparable to the reference's "
+              "VGG16-fc2 precision/recall; pass --features vgg with local weights")
     pr = compute_ipr_folders(args.path_to_real_renderings,
                              args.path_to_synthesized_renderings,
                              feature_fn=fn, k=args.k, num_samples=args.num_samples)
