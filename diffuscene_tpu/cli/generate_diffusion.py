@@ -127,8 +127,27 @@ def main(argv=None):
             all_boxes.append(boxes)
             idx = n_done + i
             if args.render:
-                floor = None
-                img = render_scene_dict(boxes, floor_mask=floor)
+                if objects_dataset is not None:
+                    # mesh-accurate top-down render of the retrieved catalog
+                    # meshes (generate_diffusion.py:251-264 path); class-
+                    # colored to stay palette-consistent with the box renders
+                    from ..eval.render import class_colors, render_meshes_topdown
+                    from ..eval.retrieval import (
+                        get_textured_objects, get_textured_objects_based_on_objfeats)
+
+                    if args.retrive_objfeats:
+                        meshes = get_textured_objects_based_on_objfeats(
+                            boxes, objects_dataset, raw.class_labels)
+                    else:
+                        meshes = get_textured_objects(
+                            boxes, objects_dataset, raw.class_labels)
+                    pal = class_colors(len(raw.class_labels))
+                    cls = np.asarray(boxes["class_labels"])
+                    cls = cls[0] if cls.ndim == 3 else cls
+                    colors = pal[cls.argmax(-1)]
+                    img = render_meshes_topdown(meshes, colors=colors)
+                else:
+                    img = render_scene_dict(boxes, floor_mask=None)
                 save_image(img, os.path.join(args.output_directory, f"{idx:05d}.png"))
             if descriptions:
                 # text dump next to the render (generate_diffusion.py writes

@@ -22,6 +22,7 @@ from .metrics import (
 from .postprocess import one_hot_from_probs, split_network_samples
 from .render import (
     class_colors,
+    render_meshes_topdown,
     render_scene_dict,
     render_scene_from_bbox_params,
     render_to_folder,

@@ -90,6 +90,95 @@ def render_topdown(
     return img
 
 
+def _label_color(label: str, palette: Dict[str, np.ndarray]) -> np.ndarray:
+    if label not in palette:
+        # deterministic fallback color from the label text
+        h = (hash(label) % 997) / 997.0
+        palette[label] = (np.asarray(colorsys.hls_to_rgb(h, 0.6, 0.65)) * 255
+                          ).astype(np.uint8)
+    return palette[label]
+
+
+def render_meshes_topdown(
+    meshes,  # Sequence[SceneMesh] (eval/retrieval.py) in world units
+    image_size: int = 256,
+    room_extent: float = 3.1,
+    colors: Optional[np.ndarray] = None,  # (len(meshes), 3) uint8 overrides
+    palette: Optional[Dict[str, np.ndarray]] = None,  # label -> RGB
+    background: tuple = (255, 255, 255),
+) -> np.ndarray:
+    """Rasterize retrieved scene meshes top-down orthographically.
+
+    The reference renders the retrieved 3D-FUTURE meshes with an orthographic
+    top-down camera (scripts/generate_diffusion.py:251-264, scripts/
+    utils.py:220-239); this is the dependency-free numpy equivalent: x -> u,
+    z -> v projection, per-pixel z-buffer on world y (height), flat lambert
+    shading from the face normal.  Returns (S, S, 3) uint8.
+    """
+    img = np.empty((image_size, image_size, 3), np.float32)
+    img[:] = background
+    zbuf = np.full((image_size, image_size), -np.inf, np.float32)
+    scale = image_size / (2.0 * room_extent)
+    palette = palette if palette is not None else {}
+
+    for mi, mesh in enumerate(meshes):
+        verts = np.asarray(mesh.vertices, np.float64)
+        faces = np.asarray(mesh.faces, np.int64)
+        if len(faces) == 0 or len(verts) == 0:
+            continue
+        if colors is not None:
+            base = np.asarray(colors[mi], np.float32)
+        else:
+            base = _label_color(getattr(mesh, "label", "object"), palette
+                                ).astype(np.float32)
+        # pixel coords: consistent with render_topdown's pixel-center mapping
+        u = (verts[:, 0] + room_extent) * scale - 0.5
+        v = (verts[:, 2] + room_extent) * scale - 0.5
+        y = verts[:, 1]
+        tri_u, tri_v, tri_y = u[faces], v[faces], y[faces]  # (F, 3)
+
+        # flat lambert shading from the (unnormalized) face normal's y part
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        nrm = np.cross(e1, e2)
+        nlen = np.linalg.norm(nrm, axis=1)
+        ny = np.abs(nrm[:, 1]) / np.maximum(nlen, 1e-12)
+        shade = 0.35 + 0.65 * ny  # (F,)
+
+        lo_u = np.maximum(np.floor(tri_u.min(1)).astype(int), 0)
+        hi_u = np.minimum(np.ceil(tri_u.max(1)).astype(int), image_size - 1)
+        lo_v = np.maximum(np.floor(tri_v.min(1)).astype(int), 0)
+        hi_v = np.minimum(np.ceil(tri_v.max(1)).astype(int), image_size - 1)
+        # twice the signed area; degenerate or fully-clipped triangles skipped
+        area = ((tri_u[:, 1] - tri_u[:, 0]) * (tri_v[:, 2] - tri_v[:, 0])
+                - (tri_u[:, 2] - tri_u[:, 0]) * (tri_v[:, 1] - tri_v[:, 0]))
+        ok = (np.abs(area) > 1e-12) & (hi_u >= lo_u) & (hi_v >= lo_v)
+
+        for fi in np.nonzero(ok)[0]:
+            uu = np.arange(lo_u[fi], hi_u[fi] + 1)
+            vv = np.arange(lo_v[fi], hi_v[fi] + 1)
+            pu = uu[None, :].astype(np.float64)  # columns
+            pv = vv[:, None].astype(np.float64)  # rows
+            u0, u1, u2 = tri_u[fi]
+            v0, v1, v2 = tri_v[fi]
+            inv = 1.0 / area[fi]
+            w0 = ((u1 - pu) * (v2 - pv) - (u2 - pu) * (v1 - pv)) * inv
+            w1 = ((u2 - pu) * (v0 - pv) - (u0 - pu) * (v2 - pv)) * inv
+            w2 = 1.0 - w0 - w1
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            if not inside.any():
+                continue
+            py = w0 * tri_y[fi, 0] + w1 * tri_y[fi, 1] + w2 * tri_y[fi, 2]
+            sub = zbuf[lo_v[fi]:hi_v[fi] + 1, lo_u[fi]:hi_u[fi] + 1]
+            win = inside & (py > sub)
+            if not win.any():
+                continue
+            sub[win] = py[win]
+            img[lo_v[fi]:hi_v[fi] + 1, lo_u[fi]:hi_u[fi] + 1][win] = (
+                base * shade[fi])
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def render_scene_dict(boxes: Dict[str, np.ndarray], image_size: int = 256,
                       room_extent: float = 3.1,
                       floor_mask: Optional[np.ndarray] = None) -> np.ndarray:

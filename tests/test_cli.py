@@ -113,6 +113,54 @@ def test_generate_cli_ddim(synth_config):
     assert len([f for f in os.listdir(gen_dir) if f.endswith(".png")]) == 2
 
 
+class _MeshObj:
+    """Synthetic picklable catalog object: a unit-ish cuboid per label."""
+
+    def __init__(self, label, size):
+        self.label = label
+        self.size = np.asarray(size, np.float32)
+        self.scale = 1.0
+        self.model_jid = f"jid-{label}"
+        self.texture_image_path = None
+
+    def raw_model(self):
+        sx, sy, sz = self.size
+        verts = np.array([[x, y, z] for x in (-sx, sx)
+                          for y in (-sy, sy) for z in (-sz, sz)], np.float64)
+        quads = [(0, 1, 3, 2), (4, 6, 7, 5), (0, 4, 5, 1),
+                 (2, 3, 7, 6), (0, 2, 6, 4), (1, 5, 7, 3)]
+        faces = []
+        for a, b, c, d in quads:
+            faces += [[a, b, c], [a, c, d]]
+        return verts, np.asarray(faces)
+
+
+def test_generate_cli_mesh_renders(synth_config):
+    """--render + a pickled catalog rasterizes retrieved meshes, not boxes."""
+    from PIL import Image
+
+    from diffuscene_tpu.cli.generate_diffusion import main
+    from diffuscene_tpu.data.synthetic import BEDROOM_TYPES
+    from diffuscene_tpu.data.threed_future import ThreedFutureDataset
+
+    cfg_path, root = synth_config
+    exp = os.path.join(root, "out", "e2e")
+    pkl = os.path.join(root, "future_models.pkl")
+    ThreedFutureDataset(
+        [_MeshObj(t, [0.5, 0.4, 0.5]) for t in BEDROOM_TYPES]).pickle(pkl)
+
+    gen_dir = os.path.join(root, "generated_mesh")
+    main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "2",
+          "--batch_size", "8", "--render",
+          "--path_to_pickled_3d_futute_models", pkl])
+    pngs = sorted(f for f in os.listdir(gen_dir) if f.endswith(".png"))
+    assert len(pngs) == 2
+    img = np.asarray(Image.open(os.path.join(gen_dir, pngs[0])))
+    assert img.shape == (256, 256, 3)
+    # mesh renders use a white background (box renders use the 230 floor)
+    assert (img == 255).all(-1).any() and ((img != 255).any(-1)).any()
+
+
 def test_completion_cli(synth_config):
     from diffuscene_tpu.cli.completion_rearrange import main
 
