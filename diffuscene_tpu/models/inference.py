@@ -226,13 +226,14 @@ def _group_expand(g: int, C: int, dtype):
     return (grp == ch).astype(dtype)
 
 
-def _group_norm(x, norm_p, groups: int, eps: float = 1e-6):
-    """GroupNorm with torch/flax semantics on (B, N, C): statistics reduce
-    over BOTH the object axis and the group's channels.
+def _group_norm_coeffs(x, norm_p, groups: int, eps: float = 1e-6):
+    """Per-batch-row GroupNorm affine coefficients on (B, N, C): statistics
+    reduce over BOTH the object axis and the group's channels (torch/flax
+    semantics).  Returns f32 (B, C) ``a, b`` such that GN(x) == x * a + b.
 
-    Stats are f32, but the big-tensor normalization is folded into a single
-    compute-dtype affine ``x * a + b`` so no f32 (B, N, C) intermediate is
-    ever materialized (those cost a ~30 us relayout copy each at B=512)."""
+    Stats are f32, but the big-tensor normalization stays a single
+    compute-dtype affine so no f32 (B, N, C) intermediate is ever
+    materialized (those cost a ~30 us relayout copy each at B=512)."""
     B, N, C = x.shape
     g = groups
     xf = x.astype(jnp.float32).reshape(B, N, g, C // g)
@@ -245,6 +246,11 @@ def _group_norm(x, norm_p, groups: int, eps: float = 1e-6):
     G = _group_expand(g, C, jnp.float32)
     a = jnp.einsum("bg,gc->bc", inv, G) * norm_p["scale"]            # (B, C)
     b = norm_p["bias"] - jnp.einsum("bg,gc->bc", mean * inv, G) * norm_p["scale"]
+    return a, b
+
+
+def _group_norm(x, norm_p, groups: int, eps: float = 1e-6):
+    a, b = _group_norm_coeffs(x, norm_p, groups, eps)
     return x * a[:, None, :].astype(x.dtype) + b[:, None, :].astype(x.dtype)
 
 
@@ -279,9 +285,22 @@ def _resblock(p, x, film, dt, *, groups: int, skip=None):
         h = _dense(p["block1"]["proj"], x)
     else:
         h = _dense_cat(p["block1"]["proj"], x, skip)
-    h = _group_norm(h, p["block1"]["norm"], groups).astype(dt)
-    if film is not None:
-        h = h * (film[..., :C] + 1.0) + film[..., C:]
+    if film is not None and film.shape[1] == 1:
+        # Time-FiLM rows are batch-constant over objects, so the FiLM scale/
+        # shift folds algebraically into the GN affine coefficients:
+        #   (x*a+b)*(fs+1)+fb == x*(a*(fs+1)) + (b*(fs+1)+fb)
+        # One elementwise pass over the (B, N, C) tensor instead of two
+        # (measured +27 -> +12 us per matmul at B=768 on v5e).
+        a, b = _group_norm_coeffs(h, p["block1"]["norm"], groups)
+        fs = film[:, 0, :C].astype(jnp.float32) + 1.0   # (B, C)
+        fb = film[:, 0, C:].astype(jnp.float32)
+        a2 = (a * fs).astype(h.dtype)
+        b2 = (b * fs + fb).astype(h.dtype)
+        h = h * a2[:, None, :] + b2[:, None, :]
+    else:
+        h = _group_norm(h, p["block1"]["norm"], groups).astype(dt)
+        if film is not None:
+            h = h * (film[..., :C] + 1.0) + film[..., C:]
     h = jax.nn.silu(h)
     h = _dense(p["block2"]["proj"], h)
     h = jax.nn.silu(_group_norm(h, p["block2"]["norm"], groups).astype(dt))
