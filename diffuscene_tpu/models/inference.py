@@ -35,6 +35,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.fused_level import ChainBlock, apply_chain, build_chain
 from ..ops.fused_resblock import standardize_kernel
 from .denoiser import Unet1D, sinusoidal_pos_emb
 
@@ -524,3 +525,268 @@ def fused_unet1d_forward(
     else:
         out = _dense(misc["final_conv"], h)
     return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# rows-layout forward: 2-D (B*N, C) activations + whole-level Pallas chains
+# ---------------------------------------------------------------------------
+#
+# Measured on v5e (docs/PERFORMANCE.md): (B, N, C) tensors with N=12 tile to
+# (16, 128) bf16 blocks, so every einsum("bnc,co->bno") computes on 16/12 =
+# 1.33x padded rows (~38.7 us per (9216,512)@(512,512) matmul vs ~29 us flat).
+# This path keeps the activation flat (M, C) = (B*N, C) end-to-end and runs
+# the ResnetBlock chains inside fused_level.apply_chain Pallas kernels
+# (weights VMEM-resident, GN/FiLM/SiLU fused into the matmul chain).
+# Attention stays in XLA: its matmuls run flat; only the narrow (M, 128)
+# head tensors are reshaped to (B, N, 128) for the per-scene softmax/context.
+#
+# END-TO-END VERDICT: slower than the 3-D engine (6.6 Pallas / 10.0 XLA vs
+# 4.53 ms/step at B=768) — the flat<->3-D relayout copies around attention
+# and the per-row FiLM gathers cost more than the padding saves.  Kept as an
+# opt-in measured experiment; see ops/fused_level.py and PERFORMANCE.md.
+
+
+def _wd_from_engine_block(bp: Dict[str, Any], C: int, has_skip: bool) -> Dict[str, Any]:
+    """Translate a prepared engine resblock dict (prep['blocks'][name]) into
+    fused_level.build_chain's weight dict, splitting (2C, C) kernels of
+    skip-concat blocks into their h/skip halves."""
+    k1 = bp["block1"]["proj"]["kernel"]
+    wd = {
+        "b1": bp["block1"]["proj"]["bias"],
+        "gn1_scale": bp["block1"]["norm"]["scale"],
+        "gn1_bias": bp["block1"]["norm"]["bias"],
+        "w2": bp["block2"]["proj"]["kernel"],
+        "b2": bp["block2"]["proj"]["bias"],
+        "gn2_scale": bp["block2"]["norm"]["scale"],
+        "gn2_bias": bp["block2"]["norm"]["bias"],
+    }
+    if has_skip:
+        wd["w1"], wd["w1s"] = k1[:C], k1[C:]
+    else:
+        wd["w1"] = k1
+    if "res_conv" in bp:
+        kr = bp["res_conv"]["kernel"]
+        wd["bres"] = bp["res_conv"]["bias"]
+        if has_skip:
+            wd["wres"], wd["wres_s"] = kr[:C], kr[C:]
+        else:
+            wd["wres"] = kr
+    return wd
+
+
+def prepare_chain_params(net: Unet1D, prep: Dict[str, Any],
+                         cond_names: frozenset) -> Dict[str, Any]:
+    """Build the per-chain stacked weight arrays for the rows-layout forward
+    (once per sampling call).  ``cond_names`` lists the block0 names that
+    receive cond-FiLM rows this call (depends on the conditioning inputs).
+
+    Raises ValueError for configs the chain kernel does not cover (unequal
+    level dims); callers fall back to the 3-D engine."""
+    if len(set(net.dim_mults)) != 1:
+        raise ValueError("rows-layout chains require equal level dims")
+    C = net.dim * net.dim_mults[0]
+    n_levels = len(net.dim_mults)
+    dt = net.compute_dtype
+
+    def blk(name, film, has_skip=False):
+        bp = prep["blocks"][name]
+        if has_skip and "res_conv" not in bp:
+            raise ValueError(f"{name}: skip-concat block without res_conv")
+        spec = ChainBlock(has_skip=has_skip, film=film,
+                          has_res_proj="res_conv" in bp)
+        return spec, _wd_from_engine_block(bp, C, has_skip), name
+
+    def chain(parts):
+        specs = [p[0] for p in parts]
+        wds = [p[1] for p in parts]
+        films = []
+        for spec, _, name in parts:
+            films.append((spec.film, name))
+        return {
+            "chain": build_chain(specs, wds, compute_dtype=dt),
+            "films": tuple(films),
+            "skips": tuple(s.has_skip for s in specs),
+        }
+
+    def c0film(name):
+        return "row" if name in cond_names else "none"
+
+    chains: Dict[str, Any] = {}
+    for i in range(n_levels):
+        chains[f"downA{i}"] = chain([
+            blk(f"down{i}_block0", c0film(f"down{i}_block0")),
+            blk(f"down{i}_block1", "scene"),
+        ])
+        chains[f"downB{i}"] = chain([blk(f"down{i}_block2", "scene")])
+    chains["midA"] = chain([
+        blk("mid_block0", c0film("mid_block0")),
+        blk("mid_block1", "scene"),
+    ])
+    chains["midB"] = chain([blk("mid_block2", "scene")])
+    for j in range(n_levels):
+        chains[f"upA{j}"] = chain([
+            blk(f"up{j}_block0", c0film(f"up{j}_block0")),
+            blk(f"up{j}_block1", "scene", has_skip=True),
+        ])
+        chains[f"upB{j}"] = chain([blk(f"up{j}_block2", "scene", has_skip=True)])
+    chains["final"] = chain([blk("final_res_block", "scene", has_skip=True)])
+    return chains
+
+
+def _linear_attention_rows(p, x2, dt, B, N, heads=4, dim_head=32):
+    """_linear_attention on flat (M, C) rows: the to_qkv/to_out matmuls run
+    flat; only the narrow (M, H*D) head tensors reshape to (B, N, H*D) for
+    the per-scene softmax and context contraction."""
+    hd = heads * dim_head
+    qkv = jnp.einsum("mc,ch->mh", x2, p["to_qkv"]["kernel"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # (M, H*D)
+    q = _seg_softmax_heads(q, heads, dim_head) * (dim_head**-0.5)
+    k3 = jax.nn.softmax(k.reshape(B, N, hd), axis=1)
+    ctx = jnp.einsum("bnx,bny->bxy", k3, v.reshape(B, N, hd))
+    ctx = ctx * _head_blockmask(heads, dim_head, ctx.dtype)
+    out = jnp.einsum("bnx,bxy->bny", q.reshape(B, N, hd), ctx).reshape(B * N, hd)
+    out = _dense(p["to_out"], out)
+    return _channel_layernorm(p["out_norm"]["g"], out, dt)
+
+
+def _full_attention_rows(p, x2, B, N, heads=4, dim_head=32):
+    hd = heads * dim_head
+    qkv = jnp.einsum("mc,ch->mh", x2, p["to_qkv"]["kernel"])
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q3 = (q * (dim_head**-0.5)).reshape(B, N, hd)
+    k3 = k.reshape(B, N, hd)
+    v3 = v.reshape(B, N, hd)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hd), 2) // dim_head
+    out = jnp.zeros_like(v3)
+    for h in range(heads):
+        sel = (lane_head == h).astype(q3.dtype)
+        sim = jnp.einsum("bix,bjx->bij", q3 * sel, k3)
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = out + jnp.einsum("bij,bjy->biy", attn, v3 * sel)
+    return _dense(p["to_out"], out.reshape(B * N, hd))
+
+
+def _cross_attention_rows(p, x2, ctx_mat, dt, B, N, heads=4, dim_head=32):
+    hd = heads * dim_head
+    q = jnp.einsum("mc,ch->mh", x2, p["to_q"]["kernel"])
+    q = _seg_softmax_heads(q, heads, dim_head) * (dim_head**-0.5)
+    out = jnp.einsum("bnx,bxy->bny", q.reshape(B, N, hd), ctx_mat).reshape(B * N, hd)
+    out = _dense(p["to_out"], out)
+    return _channel_layernorm(p["out_norm"]["g"], out, dt)
+
+
+def fused_unet1d_forward_rows(
+    net: Unet1D,
+    prep: Dict[str, Any],     # prepare_inference_params output
+    chains: Dict[str, Any],   # prepare_chain_params output
+    x: jnp.ndarray,           # (B, N, point_dim)
+    t: jnp.ndarray,           # (B,) integer timesteps
+    cond_ctx_rows: Dict[str, Any],  # {"film_c2": {name: (M, 2C)}, "cross": ...}
+    exact_gelu: bool = False,
+    chain_backend: str = "pallas",
+) -> jnp.ndarray:
+    """Functionally identical to ``fused_unet1d_forward`` (and therefore to
+    ``Unet1D.__call__``) on configs with equal level dims; activations stay
+    flat (B*N, C) and resblock chains run in Pallas kernels."""
+    B, N, _ = x.shape
+    M = B * N
+    dt = net.compute_dtype
+    misc = prep["misc"]
+    n_levels = len(net.dim_mults)
+    groups = net.resnet_block_groups
+    film_c2 = cond_ctx_rows["film_c2"]
+    cross = cond_ctx_rows["cross"]
+
+    x2 = x.astype(dt).reshape(M, -1)
+
+    if net.seperate_all:
+        bd = net.bbox_dim
+        h = _mlp3(misc["bbox_embedf"], x2[:, :bd], exact_gelu)
+        h = h + _mlp3(misc["class_embedf"], x2[:, bd : bd + net.class_dim], exact_gelu)
+        ofs = bd + net.class_dim
+        if net.objectness_dim > 0:
+            h = h + _mlp3(misc["objectness_embedf"], x2[:, ofs : ofs + net.objectness_dim], exact_gelu)
+            ofs += net.objectness_dim
+        if net.objfeat_dim > 0:
+            h = h + _mlp3(misc["objfeat_embedf"], x2[:, ofs : ofs + net.objfeat_dim], exact_gelu)
+    else:
+        h = x2
+    h = _dense(misc["init_conv"], h)
+    r = h
+
+    def run_chain(key, h, skip_rows=()):
+        entry = chains[key]
+        films, skips, si = [], [], 0
+        for (kind, name), has_skip in zip(entry["films"], entry["skips"]):
+            if kind == "scene":
+                films.append(prep["film_t"][name][t])       # (B, 2C)
+            elif kind == "row":
+                films.append(film_c2[name])                  # (M, 2C)
+            else:
+                films.append(None)
+            if has_skip:
+                skips.append(skip_rows[si])
+                si += 1
+            else:
+                skips.append(None)
+        return apply_chain(entry["chain"], h, films, skips,
+                           n_per_scene=N, groups=groups,
+                           backend=chain_backend)
+
+    skips = []
+    for i in range(n_levels):
+        h = run_chain(f"downA{i}", h)
+        skips.append(h)
+        if net.text_condition:
+            nm = f"down{i}_attncross"
+            h = h + _cross_attention_rows(
+                misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt),
+                cross[nm], dt, B, N)
+        h = run_chain(f"downB{i}", h)
+        h = h + _linear_attention_rows(
+            misc[f"down{i}_attn"],
+            _channel_layernorm(misc[f"down{i}_attn_norm"]["g"], h, dt), dt, B, N)
+        skips.append(h)
+        if i == n_levels - 1:
+            h = _dense(misc[f"down{i}_proj"], h)
+
+    h = run_chain("midA", h)
+    if net.text_condition:
+        h = h + _cross_attention_rows(
+            misc["mid_attncross"],
+            _channel_layernorm(misc["mid_attncross_norm"]["g"], h, dt),
+            cross["mid_attncross"], dt, B, N)
+    h = h + _full_attention_rows(
+        misc["mid_attn"], _channel_layernorm(misc["mid_attn_norm"]["g"], h, dt), B, N)
+    h = run_chain("midB", h)
+
+    for j in range(n_levels):
+        h = run_chain(f"upA{j}", h, (skips.pop(),))
+        if net.text_condition:
+            nm = f"up{j}_attncross"
+            h = h + _cross_attention_rows(
+                misc[nm], _channel_layernorm(misc[f"{nm}_norm"]["g"], h, dt),
+                cross[nm], dt, B, N)
+        h = run_chain(f"upB{j}", h, (skips.pop(),))
+        h = h + _linear_attention_rows(
+            misc[f"up{j}_attn"],
+            _channel_layernorm(misc[f"up{j}_attn_norm"]["g"], h, dt), dt, B, N)
+        if j == n_levels - 1:
+            h = _dense(misc[f"up{j}_proj"], h)
+
+    h = run_chain("final", h, (r,))
+
+    if net.seperate_all:
+        h0 = jax.nn.gelu(_dense(prep["dec_fc0"], h), approximate=not exact_gelu)
+        outs, ofs = [], 0
+        for name in prep["dec_names"]:
+            pdec = misc[name]
+            w = pdec["fc0"]["kernel"].shape[1]
+            hi = h0[:, ofs : ofs + w]
+            ofs += w
+            hi = jax.nn.gelu(_dense(pdec["fc1"], hi), approximate=not exact_gelu)
+            outs.append(_dense(pdec["fc2"], hi))
+        out = jnp.concatenate(outs, axis=-1)
+    else:
+        out = _dense(misc["final_conv"], h)
+    return out.astype(jnp.float32).reshape(B, N, -1)

@@ -408,14 +408,21 @@ class SceneDiffusion:
         return losses.mean(), loss_dict
 
     # ------------------------------------------------------------------
-    def _denoise_fn(self, params, condition, condition_cross, fused: bool = False):
+    def _denoise_fn(self, params, condition, condition_cross, fused=False):
+        """``fused`` may be False (Flax forward), True (3-D serving engine),
+        ``"rows"`` (flat-row engine with whole-level Pallas chains) or
+        ``"rows_xla"`` (flat-row engine, chains in plain XLA).  The row
+        engines fall back to the 3-D engine for configs the chains don't
+        cover (unequal level dims)."""
         if fused:
             # serving path (models/inference.py): once-per-call weight
             # standardization + dtype casts, precomputed time-FiLM tables and
             # conditioning contexts — everything step-invariant leaves the scan
             from .inference import (
                 fused_unet1d_forward,
+                fused_unet1d_forward_rows,
                 precompute_conditioning,
+                prepare_chain_params,
                 prepare_inference_params,
             )
 
@@ -425,6 +432,28 @@ class SceneDiffusion:
                 num_timesteps=self.sched.num_timesteps,
             )
             cond_ctx = precompute_conditioning(unet, inf_params, condition, condition_cross)
+
+            if fused in ("rows", "rows_xla"):
+                try:
+                    chains = prepare_chain_params(
+                        unet, inf_params, frozenset(cond_ctx["film_c"]))
+                except ValueError:
+                    chains = None
+                if chains is not None:
+                    film_c2 = {
+                        name: v.reshape(-1, v.shape[-1])
+                        for name, v in cond_ctx["film_c"].items()
+                    }
+                    ctx_rows = {"film_c2": film_c2, "cross": cond_ctx["cross"]}
+                    backend = "xla" if fused == "rows_xla" else "pallas"
+
+                    def fn(x, t):
+                        return fused_unet1d_forward_rows(
+                            unet, inf_params, chains, x, t, ctx_rows,
+                            chain_backend=backend,
+                        )
+
+                    return fn
 
             def fn(x, t):
                 return fused_unet1d_forward(
