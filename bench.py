@@ -98,12 +98,17 @@ def main():
     print(json.dumps(line))
 
 
-def train_metric():
+def train_metric(variant: str = "f32"):
     """Optional secondary benchmark: train steps/sec at the reference recipe
-    (batch 128, IoU loss).  Run with `python bench.py train`."""
+    (batch 128, IoU loss).  Run with `python bench.py train` (f32) or
+    `python bench.py train bf16` (bf16 activations; measured v5e B=128:
+    8.72 ms/step vs 9.45 f32).  The Trainer's mixed_precision pre-cast is
+    NOT used — measured slower (10.49 ms/step) than the in-forward casts,
+    which fuse into the matmul prologs (see train/trainer.py docstring)."""
     import time
 
     import jax
+    import jax.numpy as jnp
     from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
     from diffuscene_tpu.train import Trainer
 
@@ -112,6 +117,8 @@ def train_metric():
         class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
         instanclass_dim=128, seperate_all=True,
     )
+    if variant == "bf16":
+        net_kwargs["compute_dtype"] = jnp.bfloat16
     cfg = SceneModelConfig(
         point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
         objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
@@ -152,6 +159,7 @@ def train_metric():
         "metric": "bedroom_train_steps_per_sec",
         "value": round(N / dt, 3),
         "unit": "steps/sec",
+        "variant": variant,
         "vs_baseline": None,
     }))
 
@@ -254,7 +262,7 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "train":
-        train_metric()
+        train_metric(sys.argv[2] if len(sys.argv) > 2 else "f32")
     elif len(sys.argv) > 1 and sys.argv[1] == "reference":
         measure_reference()
     else:

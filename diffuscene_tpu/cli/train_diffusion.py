@@ -30,6 +30,10 @@ def main(argv=None):
     parser.add_argument("--log_every", type=int, default=10,
                         help="fetch metrics to host every N batches; between "
                         "fetches the device pipeline runs fully async")
+    parser.add_argument("--mixed_precision", action="store_true",
+                        help="cast params to bf16 once per step outside the "
+                        "grad (train/trainer.py); only meaningful with a "
+                        "bf16 compute_dtype network config")
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded, get_encoded_dataset
@@ -93,7 +97,8 @@ def main(argv=None):
                             shuffle=False, drop_last=True)
     steps_per_epoch = max(len(train_loader), 1)
 
-    trainer = Trainer(scene, config["training"], steps_per_epoch=steps_per_epoch)
+    trainer = Trainer(scene, config["training"], steps_per_epoch=steps_per_epoch,
+                      mixed_precision=args.mixed_precision)
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
 
     # resume (training_utils.py:62-87)

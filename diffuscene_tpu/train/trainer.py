@@ -41,14 +41,33 @@ class Trainer:
         mesh=None,
         steps_per_epoch: int = 500,
         tensor_parallel: bool = False,
+        mixed_precision: bool = False,
     ):
         """``tensor_parallel`` shards large denoiser kernels over the mesh
         'model' axis (parallel/tp.py) instead of replicating all params —
-        GSPMD inserts the collectives; batch stays sharded over 'data'."""
+        GSPMD inserts the collectives; batch stays sharded over 'data'.
+
+        ``mixed_precision`` casts the f32 master params to bfloat16 ONCE per
+        step, outside ``value_and_grad``: the forward then sees already-bf16
+        weights instead of casting each one inside the differentiated graph.
+        Because the transpose of ``astype`` is the reverse cast, gradients
+        are mathematically identical to the in-forward-cast formulation; the
+        only numeric difference is that weight standardization moments
+        (models/denoiser.py WSDense) are computed on bf16-rounded kernels
+        (relative weight error ~2^-9 — below the bf16 rounding the matmul
+        applies anyway).  Master params and the optimizer state stay f32.
+
+        Measured on v5e (B=128, full-size denoiser, IoU loss): plain bf16
+        8.72 ms/step, bf16+mixed_precision 10.49, f32 9.45 — the pre-cast is
+        SLOWER here because the per-use standardize-then-cast fuses into the
+        matmul prologs while the pre-cast pass adds a separate params-sized
+        HBM round-trip.  Kept as an option for configs/hardware where the
+        trade goes the other way; the CLIs default it off."""
         self.scene = scene
         self.training_cfg = training_cfg
         self.steps_per_epoch = steps_per_epoch
         self.tensor_parallel = tensor_parallel
+        self.mixed_precision = mixed_precision
         tx = optimizer_factory(training_cfg, steps_per_epoch)
 
         # the scene variables may include a 'batch_stats' collection (frozen
@@ -78,7 +97,19 @@ class Trainer:
             def loss_fn(params):
                 return self.scene.get_loss(params, batch, key)
 
-            (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            if mixed_precision:
+                compute_params = jax.tree.map(
+                    lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+                    state.params,
+                )
+                (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    compute_params
+                )
+                grads = jax.tree.map(
+                    lambda g, p: g.astype(p.dtype), grads, state.params
+                )
+            else:
+                (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
             gnorm = global_norm(grads)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
