@@ -38,6 +38,10 @@ def main(argv=None):
     parser.add_argument("--compute_intersec", action="store_true")
     parser.add_argument("--render", action="store_true", help="save top-down renders")
     parser.add_argument("--save_mesh", action="store_true")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of the sampling "
+                        "batches to this directory (XProf/TensorBoard); the "
+                        "first (compile) batch is excluded")
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded
@@ -105,8 +109,14 @@ def main(argv=None):
                             dpm=args.dpm, dpm_steps=args.dpm_steps,
                             fused=args.fused)
 
+    from ..utils import TraceWindow
+
+    # batch 0 compiles; capture from the first steady-state batch on
+    trace_window = (TraceWindow(args.profile_dir, start=1, length=10**9)
+                    if args.profile_dir else None)
     all_boxes = []
     n_done = 0
+    n_batches = 0
     key = jax.random.PRNGKey(args.seed)
     while n_done < args.n_sequences:
         key, sub = jax.random.split(key)
@@ -119,7 +129,10 @@ def main(argv=None):
                 embs.append(np.asarray(s["desc_emb"], np.float32))
                 descriptions.append(s.get("description", ""))
             text_emb = np.stack(embs)
+        if trace_window is not None:
+            trace_window.tick(n_batches)
         samples = np.asarray(sample_batch(params, sub, text_emb))
+        n_batches += 1
         take = min(args.batch_size, args.n_sequences - n_done)
         per_scene = split_network_samples(scene.spec, samples[:take])
         for i, boxes in enumerate(per_scene):
@@ -160,6 +173,8 @@ def main(argv=None):
                                   os.path.join(args.output_directory, f"{idx:05d}"))
         n_done += take
         print(f"sampled {n_done}/{args.n_sequences}")
+    if trace_window is not None:
+        trace_window.close()
 
     # metrics (generate_diffusion.py:394-429 + categorical KL at 44)
     stats = {"n_scenes": len(all_boxes)}

@@ -34,6 +34,11 @@ def main(argv=None):
                         help="cast params to bf16 once per step outside the "
                         "grad (train/trainer.py); only meaningful with a "
                         "bf16 compute_dtype network config")
+    parser.add_argument("--profile_dir", default=None,
+                        help="capture a jax.profiler trace of steady-state "
+                        "training steps to this directory (XProf/TensorBoard)")
+    parser.add_argument("--profile_steps", type=int, default=20,
+                        help="how many steps the --profile_dir capture spans")
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded, get_encoded_dataset
@@ -116,10 +121,18 @@ def main(argv=None):
     val_every = int(config["validation"].get("frequency", 100))
     key = jax.random.PRNGKey(args.seed)
 
+    from ..utils import TraceWindow
+
+    trace_window = (TraceWindow(args.profile_dir, length=args.profile_steps)
+                    if args.profile_dir else None)
+    gstep = 0
     for epoch in range(start_epoch, epochs):
         for b, batch in enumerate(train_loader):
             device_batch = trainer.put_batch(batch)
             state, metrics = trainer.train_step(state, device_batch, key)
+            if trace_window is not None:
+                trace_window.tick(gstep)
+            gstep += 1
             # fetch metrics only every log_every batches, as ONE transfer —
             # per-metric float() costs a device round-trip each, which
             # serializes the pipeline (measured 600 ms/step vs 47 ms compute
@@ -150,6 +163,8 @@ def main(argv=None):
                 logger.print_progress(-1, b + 1, float(metrics["loss"]))
             logger.clear()
 
+    if trace_window is not None:
+        trace_window.close()
     save_checkpoint(state, experiment_dir, epochs - 1)
     print(f"\ndone: {epochs - start_epoch} epochs, final step {int(state.step)}")
 

@@ -8,4 +8,4 @@ from .checkpoint import (
 from .config import load_config, save_experiment_params, yield_forever
 from .convert import convert_denoiser, convert_scene_model, load_torch_checkpoint
 from .stats_logger import AverageAggregator, StatsLogger, WandB
-from .profiling import ThroughputMeter, annotate, trace
+from .profiling import ThroughputMeter, TraceWindow, annotate, trace

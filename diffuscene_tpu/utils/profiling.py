@@ -34,6 +34,45 @@ def annotate(name: str):
     return jax.profiler.TraceAnnotation(name)
 
 
+class TraceWindow:
+    """Step-windowed `jax.profiler` capture for training loops.
+
+    Captures steps [start, start + length) of a host loop: call
+    ``tick(step)`` once per step and ``close()`` after the loop (also stops
+    an in-flight capture when the loop ends early).  ``start`` defaults past
+    the train-step's two compile calls so the trace shows steady state, not
+    compilation.
+    """
+
+    def __init__(self, logdir: str, start: int = 3, length: int = 20):
+        self.logdir = logdir
+        self.start = start
+        self.stop = start + length
+        self._active = False
+        self._done = False
+
+    def tick(self, step: int) -> None:
+        import jax
+
+        if self._done:
+            return
+        if not self._active and self.start <= step < self.stop:
+            jax.profiler.start_trace(self.logdir)
+            self._active = True
+        elif self._active and step >= self.stop:
+            jax.profiler.stop_trace()
+            self._active = False
+            self._done = True
+
+    def close(self) -> None:
+        import jax
+
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+        self._done = True
+
+
 class ThroughputMeter:
     """steps/sec + items/sec with exponential smoothing."""
 

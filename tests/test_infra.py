@@ -84,3 +84,33 @@ def test_load_reference_format_config(tmp_path):
     cfg = load_config(str(p))
     assert cfg["network"]["point_dim"] == 62
     assert cfg["training"]["batch_size"] == 128
+
+
+def test_trace_window(tmp_path):
+    """TraceWindow captures exactly its [start, start+length) step window
+    and writes a profiler trace directory; close() is idempotent and stops
+    an in-flight capture when the loop ends early."""
+    from diffuscene_tpu.utils import TraceWindow
+
+    logdir = str(tmp_path / "trace")
+    w = TraceWindow(logdir, start=2, length=3)
+    for step in range(8):
+        w.tick(step)
+        jnp.zeros(8).block_until_ready()
+    w.close()
+    w.close()  # idempotent
+    # jax.profiler writes plugins/profile/<run>/ under the logdir
+    dumped = []
+    for root, _dirs, files in os.walk(logdir):
+        dumped += files
+    assert dumped, "no trace files written"
+
+    # early-ended loop: capture starts but the loop stops before `stop`
+    logdir2 = str(tmp_path / "trace2")
+    w2 = TraceWindow(logdir2, start=0, length=100)
+    w2.tick(0)
+    w2.close()
+    dumped2 = []
+    for root, _dirs, files in os.walk(logdir2):
+        dumped2 += files
+    assert dumped2, "early close wrote no trace files"
