@@ -64,16 +64,21 @@ class WSDense(nn.Module):
 class ChannelLayerNorm(nn.Module):
     """LayerNorm over the channel (last) axis, scale-only, biased variance.
 
-    Equivalent of reference LayerNorm (denoise_net.py:93-102).
+    Equivalent of reference LayerNorm (denoise_net.py:93-102).  Moments are
+    one-pass (E[x^2] - E[x]^2, both reductions over the same read) — `jnp.var`
+    depends on the mean and forces XLA into a second full read of x
+    (measured on the serving engine: models/inference.py `_channel_layernorm`).
     """
 
     @nn.compact
     def __call__(self, x):
         g = self.param("g", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + eps) * g
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean2 = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - mean * mean, 0.0)
+        return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * g.astype(x.dtype)
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -146,12 +151,49 @@ class ResnetBlock(nn.Module):
         return h + x
 
 
+def head_blockmask(heads: int, dim_head: int, dtype) -> jnp.ndarray:
+    """(H*D, H*D) block-diagonal ones: 1 where both channels belong to the
+    same head.  Lets multi-head attention run on flat (B, N, H*D) tensors —
+    4-D (B, N, H, D) head tensors with D=32 trailing dims tile terribly on
+    TPU ((8,128) native tiles -> 8x padding waste and a ~26 us relayout copy
+    per q/k/v per block, measured ~1.4 ms/step at B=512)."""
+    hd = heads * dim_head
+    a = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
+    b = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
+    return (a == b).astype(dtype)
+
+
+def seg_softmax_heads(x: jnp.ndarray, heads: int, dim_head: int) -> jnp.ndarray:
+    """Softmax within each head's dim_head-channel segment of the last axis,
+    without reshaping to 4-D.  The stabilizing max is the PER-SEGMENT max
+    (masked row maxes recombined), not the global row max — with a global
+    max, a head whose logits trail another head's by ~88 ln-units would
+    underflow its whole segment to exp()=0 and divide 0/0.  Segment sums
+    ride the MXU via the block-diagonal ones matrix."""
+    xf = x.astype(jnp.float32)
+    hd = heads * dim_head
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1).reshape(
+        (1,) * (xf.ndim - 1) + (hd,)
+    ) // dim_head
+    m = jnp.zeros_like(xf)
+    for h in range(heads):
+        sel = lane_head == h
+        mh = jnp.max(jnp.where(sel, xf, -jnp.inf), axis=-1, keepdims=True)
+        m = m + jnp.where(sel, mh, 0.0)
+    e = jnp.exp(xf - m)
+    denom = jnp.einsum("...x,xy->...y", e, head_blockmask(heads, dim_head, jnp.float32))
+    return (e / denom).astype(x.dtype)
+
+
 class LinearAttention(nn.Module):
     """Efficient 'linear' self-attention (denoise_net.py:208-235).
 
     q softmaxed over the head-feature axis, k over the sequence axis; the
-    (d x e) context matrix contracts away the sequence dim.  For N <= 21 this
-    is a pair of tiny MXU matmuls per head.
+    per-head (d x e) context matrices contract away the sequence dim.  Heads
+    stay flat in the channel axis with a block-diagonal mask (same math as
+    the 4-D head form, measured ~3x faster per block on TPU — see
+    head_blockmask; the serving engine models/inference.py uses the
+    identical formulation).
     """
 
     heads: int = 4
@@ -163,23 +205,23 @@ class LinearAttention(nn.Module):
         B, N, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda a: a.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)
-        q, k, v = split(q), split(k), split(v)  # (B, H, D, N)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H*D) each
 
-        q = jax.nn.softmax(q, axis=-2)  # over feature dim d
-        k = jax.nn.softmax(k, axis=-1)  # over sequence dim n
-        q = q * (self.dim_head**-0.5)
+        q = seg_softmax_heads(q, self.heads, self.dim_head) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k, axis=1)  # over the object axis
 
-        context = jnp.einsum("bhdn,bhen->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context, q)  # (B, H, E, N)
-        out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+        ctx = jnp.einsum("bnx,bny->bxy", k, v)  # (B, H*D, H*D)
+        ctx = ctx * head_blockmask(self.heads, self.dim_head, ctx.dtype)
+        out = jnp.einsum("bnx,bxy->bny", q, ctx)
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
         return ChannelLayerNorm(name="out_norm")(out)
 
 
 class Attention(nn.Module):
-    """Full softmax self-attention (denoise_net.py:237-259)."""
+    """Full softmax self-attention (denoise_net.py:237-259), flat head layout:
+    per head, the (N x N) scores come from a head-masked H*D-wide contraction,
+    and masking v the same way accumulates outputs into disjoint channel
+    blocks.  N <= 21, so the per-head (B, N, N) intermediates are tiny."""
 
     heads: int = 4
     dim_head: int = 32
@@ -190,51 +232,56 @@ class Attention(nn.Module):
         B, N, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Dense(hidden * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda a: a.reshape(B, N, self.heads, self.dim_head)
-        q, k, v = split(q), split(k), split(v)  # (B, N, H, D)
+        q, k, v = jnp.split(qkv, 3, axis=-1)  # (B, N, H*D)
         q = q * (self.dim_head**-0.5)
-        sim = jnp.einsum("bihd,bjhd->bhij", q, k)
-        attn = jax.nn.softmax(sim, axis=-1)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, hidden)
+        lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hidden), 2) // self.dim_head
+        out = jnp.zeros_like(v)
+        for h in range(self.heads):
+            sel = (lane_head == h).astype(q.dtype)
+            sim = jnp.einsum("bix,bjx->bij", q * sel, k)  # k's other-head lanes zeroed via q*sel
+            attn = jax.nn.softmax(sim, axis=-1)
+            out = out + jnp.einsum("bij,bjy->biy", attn, v * sel)
         return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
 
 
-class LinearAttentionCross(nn.Module):
-    """Linear cross-attention from object slots to text tokens.
-
-    (denoise_net.py:261-297).  q from x (B, N, C); k, v from context
-    (B, L, C_ctx).
-    """
+class _CrossAttentionBase(nn.Module):
+    """Linear cross-attention from object slots to text tokens, flat head
+    layout (denoise_net.py:261-297 math): q from x (B, N, C); k, v from
+    context (B, L, C_ctx); the per-head contexts live as diagonal blocks of
+    one (H*D, H*D) matrix."""
 
     heads: int = 4
     dim_head: int = 32
     dtype: jnp.dtype = jnp.float32
+    out_norm: bool = True
 
     @nn.compact
     def __call__(self, x, context):
         B, N, C = x.shape
-        L = context.shape[1]
         hidden = self.heads * self.dim_head
         q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="to_q")(x)
         kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="to_kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
-        q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)  # (B,H,D,N)
-        k = k.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)  # (B,H,D,L)
-        v = v.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
+        k, v = jnp.split(kv, 2, axis=-1)  # (B, L, H*D)
 
-        q = jax.nn.softmax(q, axis=-2)
-        k = jax.nn.softmax(k, axis=-1)
-        q = q * (self.dim_head**-0.5)
+        q = seg_softmax_heads(q, self.heads, self.dim_head) * (self.dim_head**-0.5)
+        k = jax.nn.softmax(k, axis=1)  # over text tokens
 
-        context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
-        out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
+        ctx = jnp.einsum("blx,bly->bxy", k, v)
+        ctx = ctx * head_blockmask(self.heads, self.dim_head, ctx.dtype)
+        out = jnp.einsum("bnx,bxy->bny", q, ctx)
         out = nn.Dense(C, dtype=self.dtype, name="to_out")(out)
-        return ChannelLayerNorm(name="out_norm")(out)
+        if self.out_norm:
+            out = ChannelLayerNorm(name="out_norm")(out)
+        return out
 
 
-class AttentionCross(nn.Module):
+class LinearAttentionCross(_CrossAttentionBase):
+    """Linear cross-attention with the output LayerNorm (denoise_net.py:261-297)."""
+
+    out_norm: bool = True
+
+
+class AttentionCross(_CrossAttentionBase):
     """Cross-attention variant without the output LayerNorm.
 
     Note the reference ``AttentionCross`` (denoise_net.py:299-332) uses the
@@ -242,28 +289,7 @@ class AttentionCross(nn.Module):
     preserve that.
     """
 
-    heads: int = 4
-    dim_head: int = 32
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, context):
-        B, N, C = x.shape
-        L = context.shape[1]
-        hidden = self.heads * self.dim_head
-        q = nn.Dense(hidden, use_bias=False, dtype=self.dtype, name="to_q")(x)
-        kv = nn.Dense(hidden * 2, use_bias=False, dtype=self.dtype, name="to_kv")(context)
-        k, v = jnp.split(kv, 2, axis=-1)
-        q = q.reshape(B, N, self.heads, self.dim_head).transpose(0, 2, 3, 1)
-        k = k.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
-        v = v.reshape(B, L, self.heads, self.dim_head).transpose(0, 2, 3, 1)
-        q = jax.nn.softmax(q, axis=-2)
-        k = jax.nn.softmax(k, axis=-1)
-        q = q * (self.dim_head**-0.5)
-        context_mat = jnp.einsum("bhdl,bhel->bhde", k, v)
-        out = jnp.einsum("bhde,bhdn->bhen", context_mat, q)
-        out = out.transpose(0, 3, 1, 2).reshape(B, N, hidden)
-        return nn.Dense(C, dtype=self.dtype, name="to_out")(out)
+    out_norm: bool = False
 
 
 class _MLPEnc(nn.Module):
@@ -271,11 +297,13 @@ class _MLPEnc(nn.Module):
 
     hidden: int
     dtype: jnp.dtype = jnp.float32
+    exact_gelu: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="fc0")(x), approximate=False)
-        x = nn.gelu(nn.Dense(self.hidden * 2, dtype=self.dtype, name="fc1")(x), approximate=False)
+        a = not self.exact_gelu
+        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="fc0")(x), approximate=a)
+        x = nn.gelu(nn.Dense(self.hidden * 2, dtype=self.dtype, name="fc1")(x), approximate=a)
         return nn.Dense(self.hidden, dtype=self.dtype, name="fc2")(x)
 
 
@@ -285,11 +313,13 @@ class _MLPDec(nn.Module):
     hidden: int
     out: int
     dtype: jnp.dtype = jnp.float32
+    exact_gelu: bool = True
 
     @nn.compact
     def __call__(self, x):
-        x = nn.gelu(nn.Dense(self.hidden * 2, dtype=self.dtype, name="fc0")(x), approximate=False)
-        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x), approximate=False)
+        a = not self.exact_gelu
+        x = nn.gelu(nn.Dense(self.hidden * 2, dtype=self.dtype, name="fc0")(x), approximate=a)
+        x = nn.gelu(nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x), approximate=a)
         return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
 
 
@@ -324,6 +354,12 @@ class Unet1D(nn.Module):
     learned_sinusoidal_dim: int = 16
     out_dim: Optional[int] = None
     compute_dtype: jnp.dtype = jnp.float32
+    # exact erf GELU (the reference torch default) vs the tanh approximation.
+    # The tanh form avoids a large f32 erf polynomial on TPU (measured win in
+    # the serving engine, models/inference.py); exact stays the default so
+    # converted reference checkpoints are bit-faithful.  The difference is
+    # ~1e-3 absolute on activations — v-prediction training is insensitive.
+    exact_gelu: bool = True
 
     @property
     def bbox_dim(self):
@@ -351,19 +387,19 @@ class Unet1D(nn.Module):
         # --- per-attribute encoders (denoise_net.py:512-525) ---
         if self.seperate_all:
             bd = self.bbox_dim
-            x_bbox = _MLPEnc(self.dim, dtype=dt, name="bbox_embedf")(x[..., :bd])
-            x_class = _MLPEnc(self.dim, dtype=dt, name="class_embedf")(
+            x_bbox = _MLPEnc(self.dim, dtype=dt, exact_gelu=self.exact_gelu, name="bbox_embedf")(x[..., :bd])
+            x_class = _MLPEnc(self.dim, dtype=dt, exact_gelu=self.exact_gelu, name="class_embedf")(
                 x[..., bd : bd + self.class_dim]
             )
             h_sum = x_bbox + x_class
             ofs = bd + self.class_dim
             if self.objectness_dim > 0:
-                h_sum = h_sum + _MLPEnc(self.dim, dtype=dt, name="objectness_embedf")(
+                h_sum = h_sum + _MLPEnc(self.dim, dtype=dt, exact_gelu=self.exact_gelu, name="objectness_embedf")(
                     x[..., ofs : ofs + self.objectness_dim]
                 )
                 ofs += self.objectness_dim
             if self.objfeat_dim > 0:
-                h_sum = h_sum + _MLPEnc(self.dim, dtype=dt, name="objfeat_embedf")(
+                h_sum = h_sum + _MLPEnc(self.dim, dtype=dt, exact_gelu=self.exact_gelu, name="objfeat_embedf")(
                     x[..., ofs : ofs + self.objfeat_dim]
                 )
             x = h_sum
@@ -380,7 +416,7 @@ class Unet1D(nn.Module):
         else:
             t_emb = sinusoidal_pos_emb(beta, self.dim)
         t_emb = nn.Dense(time_dim, dtype=dt, name="time_mlp_1")(t_emb.astype(self.compute_dtype))
-        t_emb = nn.Dense(time_dim, dtype=dt, name="time_mlp_2")(nn.gelu(t_emb, approximate=False))
+        t_emb = nn.Dense(time_dim, dtype=dt, name="time_mlp_2")(nn.gelu(t_emb, approximate=not self.exact_gelu))
 
         n_levels = len(self.dim_mults)
         dims = [self.dim * m for m in self.dim_mults]
@@ -441,17 +477,17 @@ class Unet1D(nn.Module):
         x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, dtype=dt, name="final_res_block")(x, t_emb)
 
         if self.seperate_all:
-            out_bbox = _MLPDec(self.dim, self.bbox_dim, dtype=dt, name="bbox_hidden2output")(x)
-            out_class = _MLPDec(self.dim, self.class_dim, dtype=dt, name="class_hidden2output")(x)
+            out_bbox = _MLPDec(self.dim, self.bbox_dim, dtype=dt, exact_gelu=self.exact_gelu, name="bbox_hidden2output")(x)
+            out_class = _MLPDec(self.dim, self.class_dim, dtype=dt, exact_gelu=self.exact_gelu, name="class_hidden2output")(x)
             out = jnp.concatenate([out_bbox, out_class], axis=-1)
             if self.objectness_dim > 0:
                 out = jnp.concatenate(
-                    [out, _MLPDec(self.dim, self.objectness_dim, dtype=dt, name="objectness_hidden2output")(x)],
+                    [out, _MLPDec(self.dim, self.objectness_dim, dtype=dt, exact_gelu=self.exact_gelu, name="objectness_hidden2output")(x)],
                     axis=-1,
                 )
             if self.objfeat_dim > 0:
                 out = jnp.concatenate(
-                    [out, _MLPDec(self.dim, self.objfeat_dim, dtype=dt, name="objfeat_hidden2output")(x)],
+                    [out, _MLPDec(self.dim, self.objfeat_dim, dtype=dt, exact_gelu=self.exact_gelu, name="objfeat_hidden2output")(x)],
                     axis=-1,
                 )
         else:

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from ..ops.fused_level import ChainBlock, apply_chain, build_chain
 from ..ops.fused_resblock import standardize_kernel
-from .denoiser import Unet1D, sinusoidal_pos_emb
+from .denoiser import Unet1D, head_blockmask, seg_softmax_heads, sinusoidal_pos_emb
 
 # ---------------------------------------------------------------------------
 # preparation: everything that is constant across sampling steps
@@ -316,40 +316,10 @@ def _resblock(p, x, film, dt, *, groups: int, skip=None):
     return h + res
 
 
-def _head_blockmask(heads, dim_head, dtype):
-    """(H*D, H*D) block-diagonal ones: 1 where both channels belong to the
-    same head.  Lets multi-head attention run on flat (B, N, H*D) tensors —
-    4-D (B, N, H, D) head tensors with D=32 trailing dims tile terribly on
-    TPU ((8,128) native tiles -> 8x padding waste and a ~26 us relayout copy
-    per q/k/v per block, measured ~1.4 ms/step at B=512)."""
-    hd = heads * dim_head
-    a = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 0) // dim_head
-    b = jax.lax.broadcasted_iota(jnp.int32, (hd, hd), 1) // dim_head
-    return (a == b).astype(dtype)
-
-
-def _seg_softmax_heads(x, heads, dim_head):
-    """Softmax within each head's dim_head-channel segment of the last axis,
-    without reshaping to 4-D.  The stabilizing max is the PER-SEGMENT max
-    (four masked row maxes recombined), not the global row max — with a
-    global max, a head whose logits trail another head's by ~88 ln-units
-    would underflow its whole segment to exp()=0 and divide 0/0.  Segment
-    sums ride the MXU via the block-diagonal ones matrix."""
-    xf = x.astype(jnp.float32)
-    hd = heads * dim_head
-    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, hd), 1).reshape(
-        (1,) * (xf.ndim - 1) + (hd,)
-    ) // dim_head
-    m = jnp.zeros_like(xf)
-    for h in range(heads):
-        sel = lane_head == h
-        mh = jnp.max(jnp.where(sel, xf, -jnp.inf), axis=-1, keepdims=True)
-        m = m + jnp.where(sel, mh, 0.0)
-    e = jnp.exp(xf - m)
-    denom = jnp.einsum(
-        "...x,xy->...y", e, _head_blockmask(heads, dim_head, jnp.float32)
-    )
-    return (e / denom).astype(x.dtype)
+# canonical implementations live in models/denoiser.py (shared with the Flax
+# training forward, which uses the same flat-head-layout attention)
+_head_blockmask = head_blockmask
+_seg_softmax_heads = seg_softmax_heads
 
 
 def _linear_attention(p, x, dt, heads=4, dim_head=32):

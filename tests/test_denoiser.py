@@ -134,3 +134,96 @@ def test_param_count_bedroom_config():
     n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(shapes))
     # reference torch model is in the tens of millions of params
     assert 20e6 < n < 120e6, n
+
+
+def test_seg_softmax_heads_matches_4d_reshape():
+    """The flat-layout per-head softmax (segment max + block-diagonal denom,
+    denoiser.seg_softmax_heads) must equal reshaping to (…, H, D) and
+    softmaxing over D — including when one head's logits dwarf another's
+    (the case a global row max would underflow)."""
+    from diffuscene_tpu.models.denoiser import seg_softmax_heads
+
+    heads, dim_head = 4, 8
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (3, 5, heads * dim_head))
+    # head 0 logits huge, head 2 logits tiny: per-segment max must protect both
+    x = x.at[..., :dim_head].add(200.0).at[..., 2 * dim_head : 3 * dim_head].add(-200.0)
+
+    got = seg_softmax_heads(x, heads, dim_head)
+    want = jax.nn.softmax(x.reshape(3, 5, heads, dim_head), axis=-1).reshape(x.shape)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got.reshape(3, 5, heads, dim_head).sum(-1)), 1.0, atol=1e-5
+    )
+
+
+def test_flat_attention_matches_4d_head_form(net_and_params):
+    """LinearAttention in flat (B, N, H*D) layout with the block-diagonal head
+    mask must equal the textbook 4-D head formulation of the same math
+    (reference denoise_net.py:208-235)."""
+    from diffuscene_tpu.models.denoiser import LinearAttention
+
+    net = LinearAttention(heads=4, dim_head=8)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 64))
+    params = net.init(jax.random.PRNGKey(2), x)
+    got = net.apply(params, x)
+
+    # independent 4-D reimplementation using the same weights
+    p = params["params"]
+    B, N, C = x.shape
+    H, D = 4, 8
+    qkv = x @ p["to_qkv"]["kernel"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda a: a.reshape(B, N, H, D).transpose(0, 2, 3, 1)  # (B,H,D,N)
+    q, k, v = split(q), split(k), split(v)
+    q = jax.nn.softmax(q, axis=-2) * D**-0.5
+    k = jax.nn.softmax(k, axis=-1)
+    ctx = jnp.einsum("bhdn,bhen->bhde", k, v)
+    out = jnp.einsum("bhde,bhdn->bhen", ctx, q)
+    out = out.transpose(0, 3, 1, 2).reshape(B, N, H * D)
+    out = out @ p["to_out"]["kernel"] + p["to_out"]["bias"]
+    mean = out.mean(-1, keepdims=True)
+    var = jnp.maximum((out * out).mean(-1, keepdims=True) - mean * mean, 0.0)
+    want = (out - mean) * jax.lax.rsqrt(var + 1e-5) * p["out_norm"]["g"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_full_attention_flat_matches_4d_head_form():
+    """Full softmax Attention (mid-block) flat head layout vs the 4-D form
+    (reference denoise_net.py:237-259)."""
+    from diffuscene_tpu.models.denoiser import Attention
+
+    net = Attention(heads=4, dim_head=8)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 12, 64))
+    params = net.init(jax.random.PRNGKey(4), x)
+    got = net.apply(params, x)
+
+    p = params["params"]
+    B, N, C = x.shape
+    H, D = 4, 8
+    qkv = x @ p["to_qkv"]["kernel"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda a: a.reshape(B, N, H, D)
+    q, k, v = split(q), split(k), split(v)
+    sim = jnp.einsum("bihd,bjhd->bhij", q * D**-0.5, k)
+    attn = jax.nn.softmax(sim, axis=-1)
+    out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, N, H * D)
+    want = out @ p["to_out"]["kernel"] + p["to_out"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_exact_gelu_flag():
+    """exact_gelu=False (tanh approximation, the fast-train option) must keep
+    the same param tree and stay within the approximation's known error."""
+    kw_exact = dict(BEDROOM_KW)
+    kw_tanh = dict(BEDROOM_KW, exact_gelu=False)
+    net_e, net_t = Unet1D(**kw_exact), Unet1D(**kw_tanh)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 12, 62))
+    t = jnp.array([3, 700])
+    ctx = jax.random.normal(jax.random.PRNGKey(8), (2, 12, 128))
+    params = jax.jit(net_e.init)(jax.random.PRNGKey(9), x, t, ctx)
+    o_e = net_e.apply(params, x, t, ctx)
+    o_t = net_t.apply(params, x, t, ctx)  # identical tree: same params reusable
+    assert np.isfinite(np.asarray(o_t)).all()
+    np.testing.assert_allclose(np.asarray(o_e), np.asarray(o_t), atol=5e-2)
+    assert np.abs(np.asarray(o_e) - np.asarray(o_t)).max() > 0  # actually different path
