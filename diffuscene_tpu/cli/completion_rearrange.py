@@ -23,6 +23,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Scene completion / rearrangement (TPU)")
     parser.add_argument("config_file")
     parser.add_argument("output_directory")
+    parser.add_argument("--no_ema", action="store_true",
+                        help="use raw (non-EMA) weights from the checkpoint")
     parser.add_argument("--weight_file", default=None)
     parser.add_argument("--arrange_objects", action="store_true")
     parser.add_argument("--num_partial", type=int, default=3)
@@ -72,13 +74,13 @@ def main(argv=None):
 
             params = convert_scene_model(load_torch_checkpoint(args.weight_file))
         else:
-            from ..train.trainer import Trainer
+            from ..train.trainer import Trainer, ema_or_params
 
             trainer = Trainer(scene, config["training"])
             state = trainer.init_state(jax.random.PRNGKey(args.seed))
             state, epoch = load_checkpoint(state, args.weight_file)
             assert epoch is not None
-            params = state.params
+            params = ema_or_params(state) if not args.no_ema else state.params
 
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)

@@ -19,6 +19,9 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Generate scenes (TPU)")
     parser.add_argument("config_file")
     parser.add_argument("output_directory")
+    parser.add_argument("--no_ema", action="store_true",
+                        help="sample with the raw (non-EMA) weights even when "
+                        "the checkpoint carries training.ema_decay averages")
     parser.add_argument("--weight_file", default=None,
                         help="experiment dir with model_* checkpoints (or a torch .pt)")
     parser.add_argument("--n_sequences", type=int, default=10)
@@ -85,14 +88,15 @@ def main(argv=None):
 
             params = convert_scene_model(load_torch_checkpoint(args.weight_file))
         else:
-            from ..train.trainer import Trainer
+            from ..train.trainer import Trainer, ema_or_params
 
             trainer = Trainer(scene, config["training"])
             state = trainer.init_state(jax.random.PRNGKey(args.seed))
             state, epoch = load_checkpoint(state, args.weight_file)
             assert epoch is not None, f"no checkpoints under {args.weight_file}"
-            params = state.params
-            print(f"loaded checkpoint epoch {epoch}")
+            params = ema_or_params(state) if not args.no_ema else state.params
+            print(f"loaded checkpoint epoch {epoch}"
+                  + (" (EMA weights)" if state.ema_params is not None and not args.no_ema else ""))
 
     objects_dataset = None
     if args.path_to_pickled_3d_futute_models:

@@ -25,6 +25,16 @@ class TrainState:
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Exponential moving average of params (None unless training.ema_decay
+    # is set).  Samplers prefer these weights when present — standard
+    # diffusion practice the reference does not implement.
+    ema_params: Any = None
+
+
+def ema_or_params(state: TrainState):
+    """The weights a sampler should use from a restored TrainState."""
+    ema = getattr(state, "ema_params", None)
+    return ema if ema is not None else state.params
 
 
 def global_norm(tree) -> jnp.ndarray:
@@ -68,6 +78,18 @@ class Trainer:
         self.steps_per_epoch = steps_per_epoch
         self.tensor_parallel = tensor_parallel
         self.mixed_precision = mixed_precision
+        # training.ema_decay (e.g. 0.9999): keep an exponential moving
+        # average of the params in TrainState.ema_params; samplers use it
+        # via ema_or_params().  training.grad_accum (int k): accumulate k
+        # micro-batch gradients before each optimizer update
+        # (optax.MultiSteps), for effective batches larger than device
+        # memory.  Both are config keys (not CLI flags) so every CLI that
+        # rebuilds the Trainer from the same YAML gets a matching
+        # TrainState template for checkpoint restore.
+        self.ema_decay = float(training_cfg.get("ema_decay", 0.0) or 0.0)
+        self.grad_accum = int(training_cfg.get("grad_accum", 1) or 1)
+        assert 0.0 <= self.ema_decay < 1.0, self.ema_decay
+        assert self.grad_accum >= 1, self.grad_accum
         tx = optimizer_factory(training_cfg, steps_per_epoch)
 
         # the scene variables may include a 'batch_stats' collection (frozen
@@ -85,6 +107,8 @@ class Trainer:
         self.tx = optax.chain(
             optax.masked(optax.set_to_zero(), _frozen_stats_mask), tx
         )
+        if self.grad_accum > 1:
+            self.tx = optax.MultiSteps(self.tx, every_k_schedule=self.grad_accum)
         self.lr_schedule = lr_schedule_factory(training_cfg)
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -113,10 +137,18 @@ class Trainer:
             gnorm = global_norm(grads)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
+            if self.ema_decay > 0.0:
+                d = self.ema_decay
+                ema_params = jax.tree.map(
+                    lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
+                )
+            else:
+                ema_params = state.ema_params
             metrics = dict(loss_dict)
             metrics["loss"] = loss
             metrics["gradnorm"] = gnorm
-            new_state = TrainState(step=state.step + 1, params=params, opt_state=opt_state)
+            new_state = TrainState(step=state.step + 1, params=params,
+                                   opt_state=opt_state, ema_params=ema_params)
             return new_state, metrics
 
         def _eval_step(state: TrainState, batch, key):
@@ -152,7 +184,11 @@ class Trainer:
         else:
             params = jax.device_put(params, self._rep)
             opt_state = self.tx.init(params)
-        return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=opt_state)
+        # EMA starts as a COPY of params: aliasing the same buffers would
+        # make the donated train step try to donate each buffer twice.
+        ema = jax.tree.map(jnp.copy, params) if self.ema_decay > 0.0 else None
+        return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                          opt_state=opt_state, ema_params=ema)
 
     def put_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
         device_keys = {
