@@ -252,6 +252,11 @@ def measure_reference(n_scenes: int = 2):
         "gpu_estimate": {"scenes_per_sec": REFERENCE_SCENES_PER_SEC,
                          "basis": "see REFERENCE_BASELINE.json in-repo copy"},
     }
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "REFERENCE_BASELINE.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
     print(json.dumps({"metric": "reference_cpu_scenes_per_sec",
                       "value": result["measured"]["scenes_per_sec"],
                       "unit": "scenes/sec", "vs_baseline": None}))

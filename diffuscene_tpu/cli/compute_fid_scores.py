@@ -17,6 +17,12 @@ def main(argv=None):
     parser.add_argument("path_to_synthesized_renderings")
     parser.add_argument("--features", choices=["pixel", "inception"], default="pixel")
     parser.add_argument("--inception_weights", default=None)
+    parser.add_argument("--inception_variant", choices=["fid", "torchvision"],
+                        default="fid",
+                        help="'fid': canonical FID-network pooling (pytorch-fid"
+                        "/cleanfid semantics; use with FID-network weights). "
+                        "'torchvision': plain ImageNet inception_v3 semantics "
+                        "incl. transform_input")
     parser.add_argument("--kid_subset_size", type=int, default=1000)
     args = parser.parse_args(argv)
 
@@ -27,7 +33,10 @@ def main(argv=None):
     if args.features == "inception":
         # pure-JAX InceptionV3 (no torchvision); raises FileNotFoundError
         # loudly instead of silently printing a pixel-FID number
-        fn = JaxInceptionFeatures(args.inception_weights)
+        fn = JaxInceptionFeatures(
+            args.inception_weights,
+            fid_pools=args.inception_variant == "fid",
+            transform_input=args.inception_variant == "torchvision")
     else:
         fn = PixelFeatures()
         print("WARNING: pixel features are not comparable to published "

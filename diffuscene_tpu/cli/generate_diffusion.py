@@ -115,8 +115,12 @@ def main(argv=None):
 
     from ..utils import TraceWindow
 
-    # batch 0 compiles; capture from the first steady-state batch on
-    trace_window = (TraceWindow(args.profile_dir, start=1, length=10**9)
+    # batch 0 compiles; capture from the first steady-state batch on — unless
+    # generation fits in ONE batch, in which case trace that batch (compile
+    # included) rather than silently capturing nothing
+    total_batches = -(-args.n_sequences // args.batch_size)
+    trace_window = (TraceWindow(args.profile_dir, start=min(1, total_batches - 1),
+                                length=10**9)
                     if args.profile_dir else None)
     all_boxes = []
     n_done = 0

@@ -254,7 +254,8 @@ def _maxpool(x, k: int, stride: int, pad: int = 0):
 
 
 def _avgpool_3x3_s1_p1(x):
-    """torch F.avg_pool2d(x, 3, 1, 1) with count_include_pad=True (default)."""
+    """torch F.avg_pool2d(x, 3, 1, 1) with count_include_pad=True (the
+    torchvision Inception3 default)."""
     import jax.lax as lax
 
     s = lax.reduce_window(
@@ -263,12 +264,55 @@ def _avgpool_3x3_s1_p1(x):
     return s / 9.0
 
 
-def inception_v3_pool3(params: Params, x):
+def _avgpool_3x3_s1_p1_nopad(x):
+    """torch F.avg_pool2d(x, 3, 1, 1, count_include_pad=False) — the FID
+    network's pooling (pytorch-fid FIDInceptionA/C/E_1; the TF-ported
+    pt_inception-2015-12-05 graph excludes padding from the average)."""
+    import jax.lax as lax
+    import jax.numpy as jnp
+
+    s = lax.reduce_window(
+        x, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)))
+    ones = jnp.ones((1, x.shape[1], x.shape[2], 1), x.dtype)
+    cnt = lax.reduce_window(
+        ones, 0.0, lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        ((0, 0), (1, 1), (1, 1), (0, 0)))
+    return s / cnt
+
+
+def inception_v3_pool3(params: Params, x, *, fid_pools: bool = True,
+                       transform_input: bool = False):
     """(B, 299, 299, 3) float in [-1, 1] -> (B, 2048) pool3 features.
 
-    Mirrors torchvision ``Inception3._forward`` (aux head skipped).
+    Mirrors torchvision ``Inception3._forward`` (aux head skipped), with two
+    switches selecting which published network the forward reproduces:
+
+    - ``fid_pools=True`` (default): the canonical FID network's pooling —
+      avg pools exclude padding (count_include_pad=False) in InceptionA/C
+      and Mixed_7b, and Mixed_7c's pool branch is a MAX pool (pytorch-fid
+      FIDInceptionA/C/E_1/E_2, matching the TF pt_inception-2015-12-05
+      graph behind cleanfid / scripts/compute_fid_scores.py:113-116).
+      Use this with pytorch-fid-style weights for paper-comparable FID.
+    - ``fid_pools=False``: plain torchvision inception_v3 semantics
+      (count_include_pad=True everywhere, avg pool in Mixed_7c).
+    - ``transform_input=True``: torchvision's pretrained-ImageNet input
+      re-normalization (Inception3._transform_input); the FID weights do
+      not use it.
     """
     import jax.numpy as jnp
+
+    if transform_input:
+        # torchvision Inception3._transform_input: per-channel remap from
+        # the [-1, 1] convention to ImageNet mean/std
+        ch0 = x[..., 0:1] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+        ch1 = x[..., 1:2] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+        ch2 = x[..., 2:3] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+        x = jnp.concatenate([ch0, ch1, ch2], axis=-1)
+
+    avgpool = _avgpool_3x3_s1_p1_nopad if fid_pools else _avgpool_3x3_s1_p1
+    # FIDInceptionE_2 (Mixed_7c) pools with MAX, not avg
+    pool_7c = (lambda v: _maxpool(v, 3, 1, 1)) if fid_pools else avgpool
 
     def c(name, x, stride=1, pad=(0, 0)):
         return _conv_relu(params[name], x, stride, pad)
@@ -287,7 +331,7 @@ def inception_v3_pool3(params: Params, x):
         b3 = c(f"{prefix}.branch3x3dbl_3",
                c(f"{prefix}.branch3x3dbl_2",
                  c(f"{prefix}.branch3x3dbl_1", x), pad=(1, 1)), pad=(1, 1))
-        bp = c(f"{prefix}.branch_pool", _avgpool_3x3_s1_p1(x))
+        bp = c(f"{prefix}.branch_pool", avgpool(x))
         return jnp.concatenate([b1, b5, b3, bp], axis=-1)
 
     x = block_a("Mixed_5b", x)
@@ -310,7 +354,7 @@ def inception_v3_pool3(params: Params, x):
         for suffix, pad in [("1", (0, 0)), ("2", (3, 0)), ("3", (0, 3)),
                             ("4", (3, 0)), ("5", (0, 3))]:
             bd = c(f"{prefix}.branch7x7dbl_{suffix}", bd, pad=pad)
-        bp = c(f"{prefix}.branch_pool", _avgpool_3x3_s1_p1(x))
+        bp = c(f"{prefix}.branch_pool", avgpool(x))
         return jnp.concatenate([b1, b7, bd, bp], axis=-1)
 
     for m in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
@@ -324,7 +368,7 @@ def inception_v3_pool3(params: Params, x):
     b7 = c("Mixed_7a.branch7x7x3_4", b7, stride=2)
     x = jnp.concatenate([b3, b7, _maxpool(x, 3, 2)], axis=-1)
 
-    def block_e(prefix, x):
+    def block_e(prefix, x, pool):
         b1 = c(f"{prefix}.branch1x1", x)
         b3 = c(f"{prefix}.branch3x3_1", x)
         b3 = jnp.concatenate([
@@ -337,11 +381,11 @@ def inception_v3_pool3(params: Params, x):
             c(f"{prefix}.branch3x3dbl_3a", bd, pad=(0, 1)),
             c(f"{prefix}.branch3x3dbl_3b", bd, pad=(1, 0)),
         ], axis=-1)
-        bp = c(f"{prefix}.branch_pool", _avgpool_3x3_s1_p1(x))
+        bp = c(f"{prefix}.branch_pool", pool(x))
         return jnp.concatenate([b1, b3, bd, bp], axis=-1)
 
-    x = block_e("Mixed_7b", x)
-    x = block_e("Mixed_7c", x)
+    x = block_e("Mixed_7b", x, avgpool)
+    x = block_e("Mixed_7c", x, pool_7c)
     return x.mean(axis=(1, 2))  # adaptive avgpool -> (B, 2048)
 
 

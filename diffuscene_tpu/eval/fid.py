@@ -153,45 +153,31 @@ class InceptionFeatures:
         return np.concatenate(feats)
 
 
-class JaxInceptionFeatures:
-    """InceptionV3 pool3 features via the pure-JAX backbone (no torchvision).
+class _JaxBatchedFeatures:
+    """Shared lazy-jit + fixed-batch pad/chunk loop for the JAX backbones.
 
-    ``weights_path`` points to a torchvision-format inception_v3 state_dict
-    (torch ``.pth`` or ``.npz`` with the same keys) — see ``eval/backbones``.
-    Preprocessing matches the FID standard: bilinear resize to 299x299 of the
-    [0,1] image, then scale to [-1,1] (compute_fid_scores.py:113-116 path).
+    Subclasses set ``self.params`` and implement ``_forward(params, x)``
+    over (B, H, W, 3) float images in [0, 1].  Params are passed as a jit
+    ARGUMENT (device arrays), not closure constants — closing over them
+    bakes hundreds of MB of weights into the HLO as literals, which
+    explodes compile time.  Short chunks are zero-padded to the compiled
+    batch shape so one executable serves every call.
     """
 
-    def __init__(self, weights_path: str, batch_size: int = 64):
-        from .backbones import inception_v3_pool3, load_inception_params
+    params: dict
+    batch_size: int
 
-        if not weights_path or not os.path.isfile(weights_path):
-            raise FileNotFoundError(
-                f"InceptionV3 weights not found at {weights_path!r}: FID with "
-                "--features inception needs a locally shipped torchvision "
-                "inception_v3 state_dict (.pth) or .npz; refusing to fall "
-                "back to pixel features silently")
-        self.params = load_inception_params(weights_path)
-        self._fn = inception_v3_pool3
-        self.batch_size = batch_size
-        self._jit = None
+    def _forward(self, params, x):  # pragma: no cover - abstract
+        raise NotImplementedError
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
         import jax
         import jax.numpy as jnp
 
-        if self._jit is None:
-            # params are a jit ARGUMENT (device arrays), not closure
-            # constants — closing over them bakes ~100 MB of weights into
-            # the HLO as literals, which explodes compile time
+        if getattr(self, "_jit", None) is None:
             self._dev_params = jax.device_put(
                 jax.tree.map(jnp.asarray, self.params))
-
-            def fwd(params, x):
-                x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
-                return self._fn(params, x * 2.0 - 1.0)
-
-            self._jit = jax.jit(fwd)
+            self._jit = jax.jit(self._forward)
         feats = []
         bs = self.batch_size
         for i in range(0, len(images), bs):
@@ -205,7 +191,48 @@ class JaxInceptionFeatures:
         return np.concatenate(feats)
 
 
-class JaxVGG16Features:
+class JaxInceptionFeatures(_JaxBatchedFeatures):
+    """InceptionV3 pool3 features via the pure-JAX backbone (no torchvision).
+
+    ``weights_path`` points to an inception_v3 state_dict with torchvision
+    key layout (torch ``.pth`` or ``.npz`` with the same keys) — see
+    ``eval/backbones``.  Preprocessing matches the FID standard: bilinear
+    resize to 299x299 of the [0,1] image, then scale to [-1,1]
+    (compute_fid_scores.py:113-116 path).
+
+    ``fid_pools=True`` (default) reproduces the canonical FID network's
+    pooling (pytorch-fid FIDInception*, i.e. the TF pt_inception graph:
+    padding-excluded avg pools + max pool in Mixed_7c) — use it with
+    FID-network weights for paper-comparable numbers.  Set
+    ``fid_pools=False, transform_input=True`` for plain torchvision
+    ImageNet inception_v3 weights.
+    """
+
+    def __init__(self, weights_path: str, batch_size: int = 64,
+                 fid_pools: bool = True, transform_input: bool = False):
+        from .backbones import inception_v3_pool3, load_inception_params
+
+        if not weights_path or not os.path.isfile(weights_path):
+            raise FileNotFoundError(
+                f"InceptionV3 weights not found at {weights_path!r}: FID with "
+                "--features inception needs a locally shipped "
+                "inception_v3 state_dict (.pth) or .npz; refusing to fall "
+                "back to pixel features silently")
+        self.params = load_inception_params(weights_path)
+        self._fn = inception_v3_pool3
+        self.batch_size = batch_size
+        self.fid_pools = fid_pools
+        self.transform_input = transform_input
+
+    def _forward(self, params, x):
+        import jax
+
+        x = jax.image.resize(x, (x.shape[0], 299, 299, 3), "bilinear")
+        return self._fn(params, x * 2.0 - 1.0, fid_pools=self.fid_pools,
+                        transform_input=self.transform_input)
+
+
+class JaxVGG16Features(_JaxBatchedFeatures):
     """VGG16 fc2 features via the pure-JAX backbone (no torchvision).
 
     Matches the reference IPR pipeline (improved_precision_recall.py:319-325,
@@ -226,35 +253,13 @@ class JaxVGG16Features:
         self.params = load_vgg16_params(weights_path)
         self._fn = vgg16_fc2
         self.batch_size = batch_size
-        self._jit = None
 
-    def __call__(self, images: np.ndarray) -> np.ndarray:
+    def _forward(self, params, x):
         import jax
         import jax.numpy as jnp
 
-        if self._jit is None:
-            # see JaxInceptionFeatures: params must be jit arguments, not
-            # closure constants (VGG16 is 553 MB of f32 weights)
-            self._dev_params = jax.device_put(
-                jax.tree.map(jnp.asarray, self.params))
-            mean, std = jnp.asarray(self._MEAN), jnp.asarray(self._STD)
-
-            def fwd(params, x):
-                x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
-                return self._fn(params, (x - mean) / std)
-
-            self._jit = jax.jit(fwd)
-        feats = []
-        bs = self.batch_size
-        for i in range(0, len(images), bs):
-            chunk = images[i : i + bs].astype(np.float32) / 255.0
-            if len(chunk) < bs:
-                pad = np.zeros((bs - len(chunk),) + chunk.shape[1:], np.float32)
-                out = self._jit(self._dev_params, jnp.asarray(np.concatenate([chunk, pad])))
-                feats.append(np.asarray(out)[: len(chunk)])
-            else:
-                feats.append(np.asarray(self._jit(self._dev_params, jnp.asarray(chunk))))
-        return np.concatenate(feats)
+        x = jax.image.resize(x, (x.shape[0], 224, 224, 3), "bilinear")
+        return self._fn(params, (x - jnp.asarray(self._MEAN)) / jnp.asarray(self._STD))
 
 
 def load_image_folder(path: str, limit: Optional[int] = None) -> np.ndarray:

@@ -153,7 +153,9 @@ def _gn_coeffs(z, S, Gm, Gt, n: int, g: int, scale, bias, eps: float):
     denom = 1.0 / (n * gs)
     mean = jnp.dot(S, zG, preferred_element_type=jnp.float32) * denom   # (ts, g)
     e2 = jnp.dot(S, z2G, preferred_element_type=jnp.float32) * denom
-    var = e2 - mean * mean
+    # one-pass variance can cancel slightly negative; clamp like
+    # ChannelLayerNorm (models/denoiser.py) so rsqrt never sees < eps
+    var = jnp.maximum(e2 - mean * mean, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     a = jnp.dot(inv, Gt, preferred_element_type=jnp.float32) * scale           # (ts, C)
     b = bias - jnp.dot(mean * inv, Gt, preferred_element_type=jnp.float32) * scale
@@ -282,7 +284,8 @@ def apply_chain_xla(
         z2G = jnp.dot(zf * zf, Gm)
         mean = zG.reshape(B, n, g).sum(1) / (n * gs)   # (B, g)
         e2 = z2G.reshape(B, n, g).sum(1) / (n * gs)
-        inv = jax.lax.rsqrt(e2 - mean * mean + eps)    # (B, g)
+        var = jnp.maximum(e2 - mean * mean, 0.0)
+        inv = jax.lax.rsqrt(var + eps)                 # (B, g)
         a = jnp.repeat(inv, gs, axis=1) * scale                    # (B, C)
         b = bias - jnp.repeat(mean * inv, gs, axis=1) * scale
         return a, b
@@ -365,13 +368,21 @@ def apply_chain(
     GroupNorm statistics stay tile-local; B must divide by the scene tile
     (callers use B % 32 == 0 batches; pass a smaller ``tile_scenes`` to
     relax).  ``backend="xla"`` runs the identical math without Pallas."""
-    if backend == "xla":
-        return apply_chain_xla(chain, x, films, skips, n_per_scene,
-                               groups=groups, eps=eps)
     M, C = x.shape
     n = n_per_scene
     B = M // n
     assert M == B * n
+    # validate films/skips against the chain BEFORE backend dispatch so the
+    # XLA path rejects misaligned inputs exactly like the Pallas path
+    assert len(films) == len(chain.blocks) and len(skips) == len(chain.blocks)
+    for blk, f, sk in zip(chain.blocks, films, skips):
+        assert (f is not None) == (blk.film != "none")
+        assert (sk is not None) == blk.has_skip
+        if f is not None:
+            assert f.shape == ((B, 2 * C) if blk.film == "scene" else (M, 2 * C)), f.shape
+    if backend == "xla":
+        return apply_chain_xla(chain, x, films, skips, n_per_scene,
+                               groups=groups, eps=eps)
     dt = x.dtype
 
     # scene tile: whole scenes, rows a multiple of the 16-sublane bf16 tile
@@ -386,12 +397,6 @@ def apply_chain(
     film_list = [f for f in films if f is not None]
     skip_list = [s for s in skips if s is not None]
     blocks = chain.blocks
-    assert len(films) == len(blocks) and len(skips) == len(blocks)
-    for blk, f, s in zip(blocks, films, skips):
-        assert (f is not None) == (blk.film != "none")
-        assert (s is not None) == blk.has_skip
-        if f is not None:
-            assert f.shape == ((B, 2 * C) if blk.film == "scene" else (M, 2 * C)), f.shape
 
     kernel = functools.partial(
         _chain_kernel, blocks=blocks, n_w=chain.n_w, n_v=chain.n_v,

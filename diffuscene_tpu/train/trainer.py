@@ -139,9 +139,20 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             if self.ema_decay > 0.0:
                 d = self.ema_decay
-                ema_params = jax.tree.map(
-                    lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
-                )
+                if self.grad_accum > 1:
+                    # only average at MultiSteps boundaries (mini_step wraps
+                    # to 0 right after the inner optimizer actually ran);
+                    # params are frozen between boundaries, and decaying
+                    # every micro-step would compound to d^k per real update
+                    applied = opt_state.mini_step == 0
+                    ema_params = jax.tree.map(
+                        lambda e, p: jnp.where(applied, d * e + (1.0 - d) * p, e),
+                        state.ema_params, params,
+                    )
+                else:
+                    ema_params = jax.tree.map(
+                        lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
+                    )
             else:
                 ema_params = state.ema_params
             metrics = dict(loss_dict)

@@ -33,10 +33,21 @@ def _tconv_bn(sd, name, x, stride=1, pad=(0, 0)):
     return F.relu(y)
 
 
-def _torch_inception_pool3(sd, x):
-    """torchvision Inception3._forward replayed with functional ops (NCHW)."""
+def _torch_inception_pool3(sd, x, fid=False):
+    """Inception3._forward replayed with functional ops (NCHW).
+
+    ``fid=False``: plain torchvision semantics (avg pools include padding).
+    ``fid=True``: the canonical FID network (pytorch-fid FIDInceptionA/C/E_1
+    use count_include_pad=False; FIDInceptionE_2's pool branch is MAX).
+    """
     def c(name, x, stride=1, pad=(0, 0)):
         return _tconv_bn(sd, name, x, stride, pad)
+
+    def apool(x):
+        return F.avg_pool2d(x, 3, 1, 1, count_include_pad=not fid)
+
+    def pool7c(x):
+        return F.max_pool2d(x, 3, 1, 1) if fid else apool(x)
 
     x = c("Conv2d_1a_3x3", x, 2)
     x = c("Conv2d_2a_3x3", x)
@@ -52,7 +63,7 @@ def _torch_inception_pool3(sd, x):
         b3 = c(f"{p}.branch3x3dbl_3",
                c(f"{p}.branch3x3dbl_2", c(f"{p}.branch3x3dbl_1", x),
                  pad=(1, 1)), pad=(1, 1))
-        bp = c(f"{p}.branch_pool", F.avg_pool2d(x, 3, 1, 1))
+        bp = c(f"{p}.branch_pool", apool(x))
         return torch.cat([b1, b5, b3, bp], dim=1)
 
     for m in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
@@ -73,7 +84,7 @@ def _torch_inception_pool3(sd, x):
         for s, pad in [("1", (0, 0)), ("2", (3, 0)), ("3", (0, 3)),
                        ("4", (3, 0)), ("5", (0, 3))]:
             bd = c(f"{p}.branch7x7dbl_{s}", bd, pad=pad)
-        bp = c(f"{p}.branch_pool", F.avg_pool2d(x, 3, 1, 1))
+        bp = c(f"{p}.branch_pool", apool(x))
         return torch.cat([b1, b7, bd, bp], dim=1)
 
     for m in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
@@ -86,7 +97,7 @@ def _torch_inception_pool3(sd, x):
     b7 = c("Mixed_7a.branch7x7x3_4", b7, stride=2)
     x = torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], dim=1)
 
-    def block_e(p, x):
+    def block_e(p, x, pool):
         b1 = c(f"{p}.branch1x1", x)
         b3 = c(f"{p}.branch3x3_1", x)
         b3 = torch.cat([c(f"{p}.branch3x3_2a", b3, pad=(0, 1)),
@@ -94,11 +105,11 @@ def _torch_inception_pool3(sd, x):
         bd = c(f"{p}.branch3x3dbl_2", c(f"{p}.branch3x3dbl_1", x), pad=(1, 1))
         bd = torch.cat([c(f"{p}.branch3x3dbl_3a", bd, pad=(0, 1)),
                         c(f"{p}.branch3x3dbl_3b", bd, pad=(1, 0))], dim=1)
-        bp = c(f"{p}.branch_pool", F.avg_pool2d(x, 3, 1, 1))
+        bp = c(f"{p}.branch_pool", pool(x))
         return torch.cat([b1, b3, bd, bp], dim=1)
 
-    x = block_e("Mixed_7b", x)
-    x = block_e("Mixed_7c", x)
+    x = block_e("Mixed_7b", x, apool)
+    x = block_e("Mixed_7c", x, pool7c)
     return x.mean(dim=(2, 3))
 
 
@@ -121,18 +132,50 @@ def _save_npz(tmp_path, sd, name):
     return path + ".npz" if not path.endswith(".npz") else path
 
 
-def test_inception_matches_torch_functional(tmp_path):
+@pytest.mark.parametrize("fid_pools", [False, True])
+def test_inception_matches_torch_functional(tmp_path, fid_pools):
+    """fid_pools=True locks the canonical FID network's pooling (pytorch-fid
+    FIDInceptionA/C/E_1: count_include_pad=False; E_2: max pool) against an
+    independent torch oracle; False locks plain torchvision semantics."""
     sd = random_inception_state_dict(0)
     params = load_inception_params(_save_npz(str(tmp_path), sd, "inc.npz"))
     rng = np.random.default_rng(1)
     x = rng.uniform(-1, 1, (1, 147, 147, 3)).astype(np.float32)
 
-    got = np.asarray(inception_v3_pool3(params, x))
+    got = np.asarray(inception_v3_pool3(params, x, fid_pools=fid_pools))
     with torch.no_grad():
         want = _torch_inception_pool3(
-            sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))).numpy()
+            sd, torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+            fid=fid_pools).numpy()
     assert got.shape == (1, 2048)
     np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
+def test_inception_fid_vs_torchvision_pools_differ(tmp_path):
+    """The two published networks genuinely differ — guard against the
+    variants silently collapsing into one."""
+    sd = random_inception_state_dict(0)
+    params = load_inception_params(_save_npz(str(tmp_path), sd, "inc2.npz"))
+    x = np.random.default_rng(2).uniform(-1, 1, (1, 147, 147, 3)).astype(np.float32)
+    a = np.asarray(inception_v3_pool3(params, x, fid_pools=True))
+    b = np.asarray(inception_v3_pool3(params, x, fid_pools=False))
+    assert np.abs(a - b).max() > 1e-4
+
+
+def test_inception_transform_input_matches_torchvision_formula(tmp_path):
+    sd = random_inception_state_dict(0)
+    params = load_inception_params(_save_npz(str(tmp_path), sd, "inc3.npz"))
+    x = np.random.default_rng(3).uniform(-1, 1, (1, 96, 96, 3)).astype(np.float32)
+    got = np.asarray(inception_v3_pool3(params, x, fid_pools=False,
+                                        transform_input=True))
+    # torchvision Inception3._transform_input applied host-side, then plain
+    tx = np.stack([
+        x[..., 0] * (0.229 / 0.5) + (0.485 - 0.5) / 0.5,
+        x[..., 1] * (0.224 / 0.5) + (0.456 - 0.5) / 0.5,
+        x[..., 2] * (0.225 / 0.5) + (0.406 - 0.5) / 0.5,
+    ], axis=-1)
+    want = np.asarray(inception_v3_pool3(params, tx, fid_pools=False))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
 def test_vgg16_matches_torch_functional(tmp_path):

@@ -144,3 +144,25 @@ def test_grad_accum_applies_mean_gradient_sgd_exact():
     flat_got = np.concatenate([x.ravel() for x in jax.tree.leaves(got)])
     flat_want = np.concatenate([x.ravel() for x in jax.tree.leaves(want)])
     np.testing.assert_allclose(flat_got, flat_want, rtol=2e-5, atol=1e-7)
+
+
+def test_ema_with_grad_accum_decays_once_per_real_update():
+    """EMA must move only at MultiSteps boundaries, with a SINGLE decay
+    application per real optimizer update (not d^k across micro-steps)."""
+    scene = tiny_scene()
+    d = 0.5
+    trainer = Trainer(scene, {**BASE_CFG, "ema_decay": d, "grad_accum": 2})
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch(trainer)
+    key = jax.random.PRNGKey(1)
+
+    def leaf(tree):
+        return np.asarray(jax.tree.leaves(tree)[0], np.float64)
+
+    ema0 = leaf(state.ema_params)
+    state, _ = trainer.train_step(state, batch, key)  # micro-step: no update
+    np.testing.assert_allclose(leaf(state.ema_params), ema0)
+    state, _ = trainer.train_step(state, batch, key)  # boundary: update + 1 decay
+    p = leaf(state.params)
+    np.testing.assert_allclose(leaf(state.ema_params), d * ema0 + (1 - d) * p,
+                               rtol=1e-5, atol=1e-7)
