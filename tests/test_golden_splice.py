@@ -1,0 +1,183 @@
+"""End-to-end golden tests of the completion / arrange splice chains vs the
+LIVE reference loops (diffusion_ddpm.py:447-506).
+
+test_task_apis.py checks our splice *semantics* (partials preserved, channel
+groups preserved); these tests check *parity*: the reference torch loops and
+our `lax.scan` loops, driven by the SAME weights (via the converter) and the
+SAME noise stream, must produce the same scenes.  The noise stream is
+generated from our samplers' exact key-split sequence and fed to the torch
+side through a queue-backed ``noise_fn``.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF_DIR = "/root/reference/scene_synthesis/networks"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF_DIR), reason="reference checkout not available"
+)
+
+T = 20
+B, N, D = 4, 12, 62
+
+
+def _load_ref():
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from test_convert_trained import _load_ref as load
+
+    return load()
+
+
+def _queue_noise_fn(torch, arrays):
+    """torch noise_fn popping pre-generated arrays; shape-checked."""
+    queue = list(arrays)
+
+    def fn(size, dtype=None, device=None):
+        a = queue.pop(0)
+        assert tuple(size) == a.shape, (tuple(size), a.shape)
+        return torch.from_numpy(a)
+
+    return fn
+
+
+def test_completion_chain_matches_reference():
+    """RePaint completion: reference p_sample_loop_complete vs our scanned
+    p_sample_loop_complete, identical weights + noise."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from diffuscene_tpu.diffusion import make_schedule
+    from diffuscene_tpu.diffusion import samplers as S
+    from diffuscene_tpu.models import Unet1D
+    from diffuscene_tpu.utils import convert_denoiser
+
+    dn, dd = _load_ref()
+    torch.manual_seed(1)
+    kw = dict(dim=32, channels=D, objectness_dim=0, class_dim=22,
+              translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
+              context_dim=0, instanclass_dim=16, seperate_all=True)
+    tnet = dn.Unet1D(dim_mults=[1, 1], **kw)
+    tnet.eval()
+    betas = dd.get_betas("linear", 1e-4, 0.02, T)
+    config = {"translation_dim": 3, "size_dim": 3, "angle_dim": 2,
+              "class_dim": 22, "objectness_dim": 0, "objfeat_dim": 32,
+              "loss_type": "mse"}
+    gd = dd.GaussianDiffusion(config, betas, "mse", "v", "fixedsmall",
+                              True, False, None)
+
+    params = convert_denoiser({k: v for k, v in tnet.state_dict().items()})
+    jnet = Unet1D(dim_mults=(1, 1), **kw)
+    sched = make_schedule("linear", 1e-4, 0.02, T, model_mean_type="v")
+
+    rng = np.random.default_rng(7)
+    cond = rng.normal(0, 1, (B, N, 16)).astype(np.float32)
+    partial = rng.uniform(-1, 1, (B, 3, D)).astype(np.float32)
+    jcond = jnp.asarray(cond)
+
+    def jfn(x, t):
+        return jnet.apply({"params": params}, x, t, jcond)
+
+    # --- replicate our sampler's key-split sequence to pre-generate noise
+    key = jax.random.PRNGKey(5)
+    k, init_key = jax.random.split(key)
+    noises = [np.asarray(jax.random.normal(init_key, (B, N, D), jnp.float32))]
+    kk = k
+    for _ in range(T):
+        kk, k_noise, k_step = jax.random.split(kk, 3)
+        noises.append(np.asarray(jax.random.normal(k_noise, partial.shape, jnp.float32)))
+        noises.append(np.asarray(jax.random.normal(k_step, (B, N, D), jnp.float32)))
+
+    # --- torch reference chain on the same stream
+    tcond = torch.from_numpy(cond)
+    with torch.no_grad():
+        want = gd.p_sample_loop_complete(
+            lambda x, tt, c, cc=None: tnet(x, tt, c, cc),
+            (B, N, D), "cpu", tcond, None,
+            noise_fn=_queue_noise_fn(torch, noises),
+            clip_denoised=True, partial_boxes=torch.from_numpy(partial),
+        ).numpy()
+
+    got = np.asarray(jax.jit(
+        lambda key: S.p_sample_loop_complete(
+            sched, "v", "fixedsmall", jfn, (B, N, D), key,
+            jnp.asarray(partial), True)
+    )(key))
+
+    np.testing.assert_allclose(got[:, :3], partial, atol=1e-6)  # spliced clean
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
+    assert float(np.abs(got - want).max()) < 5e-3
+
+
+def test_arrange_chain_and_splice_match_reference():
+    """Arrange: reference p_sample_loop_arrange (5-channel chain + t==0
+    channel splice) vs our p_sample_loop_arrange + the scene_model splice
+    formula, identical weights + noise.  Also exercises the converter on a
+    seperate_all=False net."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from diffuscene_tpu.diffusion import make_schedule
+    from diffuscene_tpu.diffusion import samplers as S
+    from diffuscene_tpu.models import Unet1D
+    from diffuscene_tpu.utils import convert_denoiser
+
+    dn, dd = _load_ref()
+    torch.manual_seed(2)
+    kw = dict(dim=32, channels=5, objectness_dim=0, class_dim=22,
+              translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
+              context_dim=0, instanclass_dim=16, seperate_all=False)
+    tnet = dn.Unet1D(dim_mults=[1, 1], **kw)
+    tnet.eval()
+    betas = dd.get_betas("linear", 1e-4, 0.02, T)
+    config = {"translation_dim": 3, "size_dim": 3, "angle_dim": 2,
+              "class_dim": 22, "objectness_dim": 0, "objfeat_dim": 32,
+              "loss_type": "mse"}
+    gd = dd.GaussianDiffusion(config, betas, "mse", "v", "fixedsmall",
+                              True, False, None)
+
+    params = convert_denoiser({k: v for k, v in tnet.state_dict().items()})
+    jnet = Unet1D(dim_mults=(1, 1), **kw)
+    sched = make_schedule("linear", 1e-4, 0.02, T, model_mean_type="v")
+
+    rng = np.random.default_rng(9)
+    cond = rng.normal(0, 1, (B, N, 16)).astype(np.float32)
+    input_boxes = rng.uniform(-1, 1, (B, N, D)).astype(np.float32)
+    jcond = jnp.asarray(cond)
+
+    def jfn(x, t):
+        return jnet.apply({"params": params}, x, t, jcond)
+
+    # our key stream: plain p_sample_loop on the (B, N, 5) sub-shape
+    key = jax.random.PRNGKey(11)
+    k, init_key = jax.random.split(key)
+    noises = [np.asarray(jax.random.normal(init_key, (B, N, 5), jnp.float32))]
+    kk = k
+    for _ in range(T):
+        kk, sub = jax.random.split(kk)
+        noises.append(np.asarray(jax.random.normal(sub, (B, N, 5), jnp.float32)))
+
+    tcond = torch.from_numpy(cond)
+    with torch.no_grad():
+        want = gd.p_sample_loop_arrange(
+            lambda x, tt, c, cc=None: tnet(x, tt, c, cc),
+            (B, N, D), "cpu", tcond, None,
+            noise_fn=_queue_noise_fn(torch, noises),
+            clip_denoised=True, input_boxes=torch.from_numpy(input_boxes),
+        ).numpy()
+
+    sub = np.asarray(jax.jit(
+        lambda key: S.p_sample_loop_arrange(
+            sched, "v", "fixedsmall", jfn, (B, N, D), key, 3, 2, True)
+    )(key))
+    assert sub.shape == (B, N, 5)
+    # the scene_model.sample splice (models/scene_model.py input_boxes branch)
+    got = np.concatenate(
+        [sub[:, :, :3], input_boxes[:, :, 3:6], sub[:, :, 3:], input_boxes[:, :, 8:]],
+        axis=-1)
+
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
