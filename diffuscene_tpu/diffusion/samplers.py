@@ -82,16 +82,18 @@ def p_sample_loop_trajectory(
 ) -> jnp.ndarray:
     """DDPM sampling that also returns intermediate frames every ``freq`` steps.
 
-    Mirrors reference p_sample_loop_trajectory (diffusion_ddpm.py:373-398):
-    the returned array stacks [x_T] + [x_t for t where t % freq == 0], i.e.
-    shape (1 + T//freq, *shape) for T divisible by freq.
+    Frame-exact mirror of reference p_sample_loop_trajectory
+    (diffusion_ddpm.py:373-398), which emits after a step when
+    ``t % freq == 0 or t == T - 1``: the returned array stacks
+    [x_T, x_{after t=T-1}] + [x_t for t % freq == 0], i.e.
+    (2 + T//freq, *shape) frames for freq > 1 (for freq == 1 the t == T-1
+    frame coincides with the modulo frames: (1 + T, *shape)).
 
-    Implemented as a two-level scan (outer over frames, inner over ``freq``
-    steps) so only the emitted frames are materialized.
+    Implemented as scans over frame chunks (1 step, then freq-1 steps, then
+    T//freq - 1 chunks of freq steps) so only emitted frames materialize.
     """
     T = sched.num_timesteps
     assert T % freq == 0, "freq must divide num_timesteps for the fused trajectory scan"
-    n_frames = T // freq
 
     key, init_key = jax.random.split(key)
     x_T = jax.random.normal(init_key, shape, dtype=jnp.float32)
@@ -105,16 +107,41 @@ def p_sample_loop_trajectory(
         )
         return (x, k), None
 
-    def outer(carry, frame_idx):
-        x, k = carry
-        # timesteps for this frame chunk: from T-1-frame*freq down, `freq` of them
-        t_start = T - 1 - frame_idx * freq
-        ts = t_start - jnp.arange(freq, dtype=jnp.int32)
+    def chunk(x, k, ts):
         (x, k), _ = jax.lax.scan(inner, (x, k), ts)
+        return x, k
+
+    frames = [x_T]
+    # reference emits after the very first step (t == T-1) ...
+    x, k = chunk(x_T, key, jnp.array([T - 1], jnp.int32))
+    frames.append(x)
+    if freq > 1:
+        # ... then after every t % freq == 0 step: first a freq-1 chunk
+        # (t = T-2 .. T-freq), then uniform freq-sized chunks down to t=0
+        x, k = chunk(x, k, jnp.arange(T - 2, T - freq - 1, -1, dtype=jnp.int32))
+        frames.append(x)
+        n_chunks = T // freq - 1
+
+        def outer(carry, frame_idx):
+            x, k = carry
+            t_start = T - freq - 1 - frame_idx * freq
+            ts = t_start - jnp.arange(freq, dtype=jnp.int32)
+            x, k = chunk(x, k, ts)
+            return (x, k), x
+
+        (_, _), tail = jax.lax.scan(
+            outer, (x, k), jnp.arange(n_chunks, dtype=jnp.int32))
+        return jnp.concatenate([jnp.stack(frames), tail], axis=0)
+
+    # freq == 1: every remaining step emits
+    def outer1(carry, t_scalar):
+        x, k = carry
+        x, k = chunk(x, k, t_scalar[None])
         return (x, k), x
 
-    (_, _), frames = jax.lax.scan(outer, (x_T, key), jnp.arange(n_frames, dtype=jnp.int32))
-    return jnp.concatenate([x_T[None], frames], axis=0)
+    (_, _), tail = jax.lax.scan(
+        outer1, (x, k), jnp.arange(T - 2, -1, -1, dtype=jnp.int32))
+    return jnp.concatenate([jnp.stack(frames), tail], axis=0)
 
 
 def ddim_sample_loop(

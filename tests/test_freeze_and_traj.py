@@ -26,9 +26,15 @@ def test_trajectory_sampler_frames():
     fn = lambda x, t: jnp.zeros_like(x)
     frames = p_sample_loop_trajectory(
         sched, "eps", "fixedsmall", fn, (2, 4, 6), jax.random.PRNGKey(0), freq=2)
-    # 1 initial frame + T/freq frames
-    assert frames.shape == (1 + 4, 2, 4, 6)
+    # init + post-(t=T-1) frame + T/freq modulo frames (reference
+    # diffusion_ddpm.py:396 emits when t % freq == 0 OR t == T-1)
+    assert frames.shape == (2 + 4, 2, 4, 6)
     assert np.isfinite(np.asarray(frames)).all()
+
+    frames1 = p_sample_loop_trajectory(
+        sched, "eps", "fixedsmall", fn, (2, 4, 6), jax.random.PRNGKey(0), freq=1)
+    # freq=1: the t==T-1 frame coincides with the modulo frames
+    assert frames1.shape == (1 + 8, 2, 4, 6)
 
 
 def test_dpm_solver_sampling():

@@ -153,7 +153,8 @@ def test_fused_trajectory_matches_flax():
     fused = jax.jit(lambda p, k: scene.sample(p, k, batch_size=8, clip_denoised=True,
                                               ret_traj=True, freq=3, fused=True))(
         params, jax.random.PRNGKey(1))
-    assert fused.shape == ref.shape == (3, 8, 12, 62)
+    # T=6, freq=3: init + post-(t=T-1) + T/freq modulo frames (reference-exact)
+    assert fused.shape == ref.shape == (4, 8, 12, 62)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=5e-3, rtol=1e-2)
 
 

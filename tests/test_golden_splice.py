@@ -181,3 +181,66 @@ def test_arrange_chain_and_splice_match_reference():
         axis=-1)
 
     np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
+
+
+def test_trajectory_chain_matches_reference():
+    """p_sample_loop_trajectory frame-for-frame vs the reference loop
+    (diffusion_ddpm.py:373-398), same weights + noise stream."""
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+    from diffuscene_tpu.diffusion import make_schedule
+    from diffuscene_tpu.diffusion import samplers as S
+    from diffuscene_tpu.models import Unet1D
+    from diffuscene_tpu.utils import convert_denoiser
+
+    dn, dd = _load_ref()
+    torch.manual_seed(3)
+    kw = dict(dim=32, channels=D, objectness_dim=0, class_dim=22,
+              translation_dim=3, size_dim=3, angle_dim=2, objfeat_dim=32,
+              context_dim=0, instanclass_dim=16, seperate_all=True)
+    tnet = dn.Unet1D(dim_mults=[1, 1], **kw)
+    tnet.eval()
+    betas = dd.get_betas("linear", 1e-4, 0.02, T)
+    config = {"translation_dim": 3, "size_dim": 3, "angle_dim": 2,
+              "class_dim": 22, "objectness_dim": 0, "objfeat_dim": 32,
+              "loss_type": "mse"}
+    gd = dd.GaussianDiffusion(config, betas, "mse", "v", "fixedsmall",
+                              True, False, None)
+
+    params = convert_denoiser({k: v for k, v in tnet.state_dict().items()})
+    jnet = Unet1D(dim_mults=(1, 1), **kw)
+    sched = make_schedule("linear", 1e-4, 0.02, T, model_mean_type="v")
+
+    rng = np.random.default_rng(13)
+    cond = rng.normal(0, 1, (B, N, 16)).astype(np.float32)
+    jcond = jnp.asarray(cond)
+
+    def jfn(x, t):
+        return jnet.apply({"params": params}, x, t, jcond)
+
+    freq = 5
+    # our key stream: init draw, then one per step
+    key = jax.random.PRNGKey(17)
+    k, init_key = jax.random.split(key)
+    noises = [np.asarray(jax.random.normal(init_key, (B, N, D), jnp.float32))]
+    kk = k
+    for _ in range(T):
+        kk, sub = jax.random.split(kk)
+        noises.append(np.asarray(jax.random.normal(sub, (B, N, D), jnp.float32)))
+
+    with torch.no_grad():
+        want = gd.p_sample_loop_trajectory(
+            lambda x, tt, c, cc=None: tnet(x, tt, c, cc),
+            (B, N, D), "cpu", freq, torch.from_numpy(cond), None,
+            noise_fn=_queue_noise_fn(torch, noises), clip_denoised=True)
+    want = np.stack([w.numpy() for w in want])
+
+    got = np.asarray(jax.jit(
+        lambda key: S.p_sample_loop_trajectory(
+            sched, "v", "fixedsmall", jfn, (B, N, D), key, freq, True)
+    )(key))
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-3, rtol=0)
