@@ -142,8 +142,9 @@ def test_trajectory_sampling(synth_dataset, trainer_and_state):
     trainer, state, scene = trainer_and_state
     traj = scene.sample(state.params, jax.random.PRNGKey(2), batch_size=2,
                         clip_denoised=True, ret_traj=True, freq=10)
-    # 50 steps / freq 10 -> 5 frames + initial noise
-    assert traj.shape == (6, 2, N_OBJ, POINT_DIM)
+    # 50 steps / freq 10 -> init + post-(t=T-1) frame + 5 modulo frames
+    # (reference-exact emit set, diffusion_ddpm.py:396)
+    assert traj.shape == (7, 2, N_OBJ, POINT_DIM)
 
 
 def test_validation_step(synth_dataset, trainer_and_state):
