@@ -34,6 +34,13 @@ def main(argv=None):
                         help="cast params to bf16 once per step outside the "
                         "grad (train/trainer.py); only meaningful with a "
                         "bf16 compute_dtype network config")
+    parser.add_argument("--async_checkpoints", action="store_true",
+                        help="save epoch checkpoints on a background thread "
+                        "(orbax AsyncCheckpointer) so the train loop overlaps "
+                        "checkpoint I/O with compute")
+    parser.add_argument("--keep_last_checkpoints", type=int, default=None,
+                        help="retain only the N highest-epoch checkpoints "
+                        "(default: keep all, like the reference)")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of steady-state "
                         "training steps to this directory (XProf/TensorBoard)")
@@ -47,6 +54,7 @@ def main(argv=None):
     from ..train.trainer import Trainer
     from ..utils import (
         StatsLogger, WandB, load_config, save_bounds, save_checkpoint,
+        wait_for_checkpoints,
         load_checkpoint, save_experiment_params,
     )
 
@@ -155,7 +163,9 @@ def main(argv=None):
         logger.clear()
 
         if (epoch % save_every) == 0 and epoch > start_epoch:
-            save_checkpoint(state, experiment_dir, epoch)
+            save_checkpoint(state, experiment_dir, epoch,
+                            blocking=not args.async_checkpoints,
+                            keep_last=args.keep_last_checkpoints)
         if (epoch % val_every) == 0:
             for b, batch in enumerate(val_loader):
                 metrics = jax.device_get(trainer.eval_step(state, trainer.put_batch(batch), key))
@@ -165,7 +175,9 @@ def main(argv=None):
 
     if trace_window is not None:
         trace_window.close()
-    save_checkpoint(state, experiment_dir, epochs - 1)
+    save_checkpoint(state, experiment_dir, epochs - 1,
+                    keep_last=args.keep_last_checkpoints)
+    wait_for_checkpoints()  # commit any in-flight async save before exit
     print(f"\ndone: {epochs - start_epoch} epochs, final step {int(state.step)}")
 
 

@@ -2,6 +2,8 @@ from .checkpoint import (
     latest_epoch,
     load_bounds,
     load_checkpoint,
+    prune_checkpoints,
+    wait_for_checkpoints,
     save_bounds,
     save_checkpoint,
 )

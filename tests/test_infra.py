@@ -114,3 +114,42 @@ def test_trace_window(tmp_path):
     for root, _dirs, files in os.walk(logdir2):
         dumped2 += files
     assert dumped2, "early close wrote no trace files"
+
+
+def test_async_checkpoint_roundtrip_and_donation_safety(tmp_path):
+    """blocking=False must snapshot to host copies before returning: mutating
+    (or donating) the live state right after save cannot corrupt the write."""
+    from diffuscene_tpu.utils import (
+        load_checkpoint, save_checkpoint, wait_for_checkpoints)
+
+    state = {"params": {"w": jnp.arange(8.0)}, "step": jnp.zeros((), jnp.int32)}
+    save_checkpoint(state, str(tmp_path), epoch=1, blocking=False)
+    # clobber the source arrays immediately (what a donated train step does)
+    state["params"]["w"] = state["params"]["w"] * 0 - 99.0
+    wait_for_checkpoints()
+
+    template = {"params": {"w": jnp.zeros(8)}, "step": jnp.zeros((), jnp.int32)}
+    restored, epoch = load_checkpoint(template, str(tmp_path))
+    assert epoch == 1
+    np.testing.assert_allclose(np.asarray(restored["params"]["w"]), np.arange(8.0))
+
+
+def test_checkpoint_retention(tmp_path):
+    from diffuscene_tpu.utils import load_checkpoint, save_checkpoint
+    from diffuscene_tpu.utils.checkpoint import latest_epoch, prune_checkpoints
+
+    state = {"w": jnp.ones(4)}
+    for e in (1, 3, 5, 7):
+        save_checkpoint(state, str(tmp_path), epoch=e)
+    removed = prune_checkpoints(str(tmp_path), keep_last=2)
+    assert removed == [1, 3]
+    assert latest_epoch(str(tmp_path)) == 7
+
+    # keep_last threaded through save_checkpoint; protect always survives
+    save_checkpoint(state, str(tmp_path), epoch=9, keep_last=1)
+    assert latest_epoch(str(tmp_path)) == 9
+    restored, epoch = load_checkpoint({"w": jnp.zeros(4)}, str(tmp_path))
+    assert epoch == 9
+    import os as _os
+    names = sorted(f for f in _os.listdir(str(tmp_path)) if f.startswith("model_"))
+    assert names == ["model_00009"], names
