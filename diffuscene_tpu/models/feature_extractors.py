@@ -82,12 +82,39 @@ class ResNet18(nn.Module):
             for b in range(blocks):
                 strides = 2 if (i > 0 and b == 0) else 1
                 y = BasicBlock(feats, strides=strides, name=f"layer{i + 1}_{b}")(y)
-        y = jnp.mean(y, axis=(1, 2))  # global average pool
-        return nn.Dense(self.feature_size, name="fc")(y)
+        y = jnp.mean(y, axis=(1, 2))  # AdaptiveAvgPool2d((1, 1))
+        # reference head: Sequential(Linear(512,512), ReLU, Linear(512,F))
+        # (feature_extractors.py:39-42); names mirror the Sequential indices
+        y = nn.relu(nn.Dense(512, name="fc_0")(y))
+        return nn.Dense(self.feature_size, name="fc_2")(y)
+
+
+def adaptive_avg_pool_2d(x: jnp.ndarray, out: int) -> jnp.ndarray:
+    """torch ``AdaptiveAvgPool2d((out, out))`` over NHWC (exact bin rule:
+    bin i averages rows [floor(i*H/out), ceil((i+1)*H/out))); also handles
+    out > H by replicating, like torch."""
+    B, H, W, C = x.shape
+
+    def pool_axis(a, size, axis):
+        slabs = []
+        for i in range(out):
+            lo = (i * size) // out
+            hi = -(-((i + 1) * size) // out)  # ceil
+            slabs.append(jnp.take(a, jnp.arange(lo, hi), axis=axis).mean(
+                axis=axis, keepdims=True))
+        return jnp.concatenate(slabs, axis=axis)
+
+    return pool_axis(pool_axis(x, H, 1), W, 2)
 
 
 class AlexNet(nn.Module):
-    """Small conv stack -> FC head.  (feature_extractors.py:47-68)"""
+    """torchvision AlexNet features + 6x6 adaptive pool + Linear(9216, F).
+
+    Architecture-faithful to the reference (feature_extractors.py:47-68):
+    explicit paddings (2,2,1,1,1), max pools after convs 1/2/5,
+    AdaptiveAvgPool2d((6, 6)), and one FC over the NCHW-flattened 9216-dim
+    feature (``self._fc``) — NOT a global mean pool.
+    """
 
     feature_size: int = 256
     input_channels: int = 1
@@ -96,12 +123,16 @@ class AlexNet(nn.Module):
     def __call__(self, x):
         if x.ndim == 4 and x.shape[1] == self.input_channels and x.shape[-1] != self.input_channels:
             x = jnp.transpose(x, (0, 2, 3, 1))
-        for i, (feats, k, s) in enumerate([(64, 11, 4), (192, 5, 1), (384, 3, 1), (256, 3, 1), (256, 3, 1)]):
-            x = nn.Conv(feats, (k, k), strides=s, padding="SAME", name=f"conv{i + 1}")(x)
+        specs = [(64, 11, 4, 2), (192, 5, 1, 2), (384, 3, 1, 1),
+                 (256, 3, 1, 1), (256, 3, 1, 1)]
+        for i, (feats, k, s, p) in enumerate(specs):
+            x = nn.Conv(feats, (k, k), strides=s, padding=p, name=f"conv{i + 1}")(x)
             x = nn.relu(x)
             if i in (0, 1, 4):
                 x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        x = jnp.mean(x, axis=(1, 2))
+        x = adaptive_avg_pool_2d(x, 6)
+        # torch flattens NCHW (C, 6, 6) order
+        x = jnp.transpose(x, (0, 3, 1, 2)).reshape(x.shape[0], -1)  # (B, 9216)
         return nn.Dense(self.feature_size, name="fc")(x)
 
 

@@ -185,21 +185,123 @@ _COND_LINEAR = {
 }
 
 
-def convert_scene_model(state_dict: Dict[str, Any]) -> Dict:
-    """Full DiffusionSceneLayout_DDPM state_dict -> SceneNetworks params.
+_FBN_EPS = 1e-5  # models/feature_extractors.py FrozenBatchNorm forward eps
 
-    Returns {'params': {'denoiser': ..., 'conditioner': ...}}.  BERT/CLIP
-    weights (frozen text encoders) and the room feature extractor are
-    intentionally skipped: text embeddings are precomputed host-side in this
-    framework, and the extractor (if enabled) converts separately.
+
+def convert_feature_extractor(state_dict: Dict[str, Any], name: str = "resnet18",
+                              frozen_source: bool = True) -> Dict:
+    """Reference room-mask extractor state_dict -> flax variables.
+
+    Maps the reference ``ResNet18``/``AlexNet`` wrappers
+    (feature_extractors.py:19-68; torchvision backbones with a 1-channel
+    stem and custom FC heads) onto ``models/feature_extractors.py``.  Keys
+    may carry the ``feature_extractor.`` prefix of a full scene checkpoint.
+
+    ``frozen_source=True`` (reference checkpoints): FrozenBatchNorm2d.freeze
+    baked ``bn.eps`` into ``running_var`` (frozen_batchnorm.py:30) and the
+    frozen forward applies NO eps; our forward adds ``1e-5``, so the baked
+    eps is subtracted here — the composed affine is then bit-identical.
+    Pass ``frozen_source=False`` for a plain (unfrozen) torchvision
+    state_dict, whose running_var has no eps baked in.
+
+    Returns ``{"params": ..., "batch_stats": ...}`` (AlexNet has no stats).
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k[len("feature_extractor."):] if k.startswith("feature_extractor.") else k
+        sd[k] = _to_numpy(v)
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv(dst, key, bias=False):
+        w = sd[f"{key}.weight"]  # (O, I, kH, kW)
+        _set(params, (dst, "kernel"), np.transpose(w, (2, 3, 1, 0)))
+        if bias:
+            _set(params, (dst, "bias"), sd[f"{key}.bias"])
+
+    def bn(dst, key):
+        _set(params, (dst, "scale"), sd[f"{key}.weight"])
+        _set(params, (dst, "bias"), sd[f"{key}.bias"])
+        _set(stats, (dst, "mean"), sd[f"{key}.running_mean"])
+        var = sd[f"{key}.running_var"].astype(np.float64)
+        if frozen_source:
+            var = var - _FBN_EPS  # un-bake the freeze-time eps
+        _set(stats, (dst, "var"), np.maximum(var, 0.0).astype(np.float32))
+
+    def linear(dst, key):
+        _set(params, (dst, "kernel"), sd[f"{key}.weight"].T)
+        _set(params, (dst, "bias"), sd[f"{key}.bias"])
+
+    if name == "resnet18":
+        fe = "_feature_extractor"
+        conv("conv1", f"{fe}.conv1")
+        bn("bn1", f"{fe}.bn1")
+        for layer in range(1, 5):
+            for blk in range(2):
+                dst = f"layer{layer}_{blk}"
+                base = f"{fe}.layer{layer}.{blk}"
+                for c in ("conv1", "conv2"):
+                    w = sd[f"{base}.{c}.weight"]
+                    _set(params, (dst, c, "kernel"), np.transpose(w, (2, 3, 1, 0)))
+                for b in ("bn1", "bn2"):
+                    _set(params, (dst, b, "scale"), sd[f"{base}.{b}.weight"])
+                    _set(params, (dst, b, "bias"), sd[f"{base}.{b}.bias"])
+                    _set(stats, (dst, b, "mean"), sd[f"{base}.{b}.running_mean"])
+                    var = sd[f"{base}.{b}.running_var"].astype(np.float64)
+                    if frozen_source:
+                        var = var - _FBN_EPS
+                    _set(stats, (dst, b, "var"), np.maximum(var, 0.0).astype(np.float32))
+                if f"{base}.downsample.0.weight" in sd:
+                    w = sd[f"{base}.downsample.0.weight"]
+                    _set(params, (dst, "downsample_conv", "kernel"),
+                         np.transpose(w, (2, 3, 1, 0)))
+                    _set(params, (dst, "downsample_bn", "scale"),
+                         sd[f"{base}.downsample.1.weight"])
+                    _set(params, (dst, "downsample_bn", "bias"),
+                         sd[f"{base}.downsample.1.bias"])
+                    _set(stats, (dst, "downsample_bn", "mean"),
+                         sd[f"{base}.downsample.1.running_mean"])
+                    var = sd[f"{base}.downsample.1.running_var"].astype(np.float64)
+                    if frozen_source:
+                        var = var - _FBN_EPS
+                    _set(stats, (dst, "downsample_bn", "var"),
+                         np.maximum(var, 0.0).astype(np.float32))
+        linear("fc_0", f"{fe}.fc.0")
+        linear("fc_2", f"{fe}.fc.2")
+        return {"params": params, "batch_stats": stats}
+
+    if name == "alexnet":
+        fe = "_feature_extractor"
+        for i, idx in enumerate((0, 3, 6, 8, 10)):
+            conv(f"conv{i + 1}", f"{fe}.features.{idx}", bias=True)
+        linear("fc", "_fc")
+        return {"params": params}
+
+    raise NotImplementedError(name)
+
+
+def convert_scene_model(state_dict: Dict[str, Any]) -> Dict:
+    """Full DiffusionSceneLayout_DDPM state_dict -> SceneNetworks variables.
+
+    Returns {'params': {'denoiser': ..., 'conditioner': ...}} — plus
+    'feature_extractor' params and 'batch_stats' when the checkpoint carries
+    room-mask extractor weights (converted via convert_feature_extractor;
+    ResNet18 assumed, the reference's shipped default).  BERT/CLIP weights
+    (frozen text encoders) are intentionally skipped: text embeddings are
+    precomputed host-side in this framework.
     """
     denoiser_sd = {}
     cond: Dict = {}
+    fe_sd: Dict = {}
     for key, val in state_dict.items():
         if key.startswith("diffusion.model."):
             denoiser_sd[key[len("diffusion.model."):]] = val
             continue
-        if key.startswith(("bertmodel.", "clip_model.", "feature_extractor.")):
+        if key.startswith("feature_extractor."):
+            fe_sd[key] = val
+            continue
+        if key.startswith(("bertmodel.", "clip_model.")):
             continue
         if key == "positional_embedding":
             _set(cond, ("positional_embedding",), _to_numpy(val))
@@ -213,7 +315,14 @@ def convert_scene_model(state_dict: Dict[str, Any]) -> Dict:
                  w.T if kind == "weight" else w)
             continue
         raise KeyError(f"unmapped scene-model key: {key}")
-    return {"params": {"denoiser": convert_denoiser(denoiser_sd), "conditioner": cond}}
+    out = {"params": {"denoiser": convert_denoiser(denoiser_sd), "conditioner": cond}}
+    if fe_sd:
+        name = "alexnet" if any("_fc." in k or "features." in k for k in fe_sd) else "resnet18"
+        fe = convert_feature_extractor(fe_sd, name)
+        out["params"]["feature_extractor"] = fe["params"]
+        if "batch_stats" in fe:
+            out["batch_stats"] = {"feature_extractor": fe["batch_stats"]}
+    return out
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
