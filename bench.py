@@ -49,7 +49,7 @@ def main():
     # bf16 activations (params stay f32) + large batch + the fused serving
     # engine (models/inference.py: hoisted weight standardization, time-FiLM
     # tables, 2-D block-masked attention, one-pass f32 GN moments) — measured
-    # on v5e: ~164 scenes/s at B=768 vs ~99 for the plain Flax forward
+    # on v5e: ~165-168 scenes/s at B=768 vs ~122 for the plain Flax forward
     net_kwargs = dict(
         dim=512, dim_mults=(1, 1, 1, 1), channels=62, objectness_dim=0,
         class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
@@ -100,9 +100,10 @@ def main():
 
 def train_metric(variant: str = "f32"):
     """Optional secondary benchmark: train steps/sec at the reference recipe
-    (batch 128, IoU loss).  Run with `python bench.py train` (f32) or
+    (batch 128, IoU loss).  Run with `python bench.py train` (f32),
     `python bench.py train bf16` (bf16 activations; measured v5e B=128:
-    8.72 ms/step vs 9.45 f32).  The Trainer's mixed_precision pre-cast is
+    8.72 ms/step vs 9.45 f32), or `python bench.py train bf16_fast`
+    (bf16 + tanh-approx GELU, the fast-training option).  The Trainer's mixed_precision pre-cast is
     NOT used — measured slower (10.49 ms/step) than the in-forward casts,
     which fuse into the matmul prologs (see train/trainer.py docstring)."""
     import time
@@ -117,8 +118,12 @@ def train_metric(variant: str = "f32"):
         class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
         instanclass_dim=128, seperate_all=True,
     )
-    if variant == "bf16":
+    if variant in ("bf16", "bf16_fast"):
         net_kwargs["compute_dtype"] = jnp.bfloat16
+    if variant == "bf16_fast":
+        # tanh-approx GELU in the enc/dec MLPs (models/denoiser.py exact_gelu):
+        # the fast-training option; exact erf (default) is torch parity.
+        net_kwargs["exact_gelu"] = False
     cfg = SceneModelConfig(
         point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
         objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
