@@ -333,25 +333,67 @@ def precompute_bert_embeddings(
     descriptions: Sequence[str],
     model_name_or_path: str = "bert-base-cased",
     max_token_length: int = 50,
+    tokenizer=None,
+    model=None,
 ) -> np.ndarray:
-    """Host-side frozen-BERT token embeddings, (B, L, 768).
+    """Host-side frozen-BERT token embeddings, (B, L, hidden).
 
     Equivalent of the in-loop frozen BERT forward in the reference
     (diffusion_scene_layout_ddpm.py:47-52, 217-219) — since BERT is frozen
     there, precomputing the embeddings in the data pipeline is semantically
     identical and keeps the device train step Python-free.  Requires local
-    HF weights (offline environments should pass a local path).
+    HF weights (offline environments should pass a local path), or pass
+    pre-built ``tokenizer``/``model`` objects directly (used by offline
+    tests with tiny randomly-initialized models).
     """
     import torch  # CPU-only; eval path, never in the device hot loop
     from transformers import BertModel, BertTokenizer
 
-    tokenizer = BertTokenizer.from_pretrained(model_name_or_path)
-    model = BertModel.from_pretrained(model_name_or_path)
+    if tokenizer is None:
+        tokenizer = BertTokenizer.from_pretrained(model_name_or_path)
+    if model is None:
+        model = BertModel.from_pretrained(model_name_or_path)
     model.eval()
     with torch.no_grad():
         tok = tokenizer(
             list(descriptions), return_tensors="pt", padding="max_length",
             truncation=True, max_length=max_token_length,
         )
-        out = model(**tok).last_hidden_state
+        out = model(input_ids=tok["input_ids"],
+                    attention_mask=tok["attention_mask"]).last_hidden_state
+    return out.numpy().astype(np.float32)
+
+
+def precompute_clip_text_embeddings(
+    descriptions: Sequence[str],
+    model_name_or_path: str = "openai/clip-vit-base-patch32",
+    max_token_length: int = 77,
+    tokenizer=None,
+    model=None,
+) -> np.ndarray:
+    """Host-side frozen CLIP text embeddings, (B, projection_dim).
+
+    Equivalent of the reference's ``clip.encode_text`` conditioning path
+    (diffusion_scene_layout_ddpm.py:39-45, 213-215: ViT-B/32, frozen, one
+    pooled+projected 512-d vector per description).  Uses transformers'
+    ``CLIPTextModelWithProjection`` so the output matches the projected
+    ``encode_text`` space, not the pre-projection pooled state.  Requires
+    local HF weights, or pass pre-built ``tokenizer``/``model`` objects
+    (offline tests construct tiny randomly-initialized ones).
+    """
+    import torch  # CPU-only; eval path, never in the device hot loop
+    from transformers import CLIPTextModelWithProjection, CLIPTokenizer
+
+    if tokenizer is None:
+        tokenizer = CLIPTokenizer.from_pretrained(model_name_or_path)
+    if model is None:
+        model = CLIPTextModelWithProjection.from_pretrained(model_name_or_path)
+    model.eval()
+    with torch.no_grad():
+        tok = tokenizer(
+            list(descriptions), return_tensors="pt", padding="max_length",
+            truncation=True, max_length=max_token_length,
+        )
+        out = model(input_ids=tok["input_ids"],
+                    attention_mask=tok["attention_mask"]).text_embeds
     return out.numpy().astype(np.float32)
