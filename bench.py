@@ -113,6 +113,10 @@ def train_metric(variant: str = "f32"):
     from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
     from diffuscene_tpu.train import Trainer
 
+    if variant not in ("f32", "bf16", "bf16_fast"):
+        raise SystemExit(f"unknown train variant {variant!r}; "
+                         "expected one of f32, bf16, bf16_fast")
+
     net_kwargs = dict(
         dim=512, dim_mults=(1, 1, 1, 1), channels=62, objectness_dim=0,
         class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,

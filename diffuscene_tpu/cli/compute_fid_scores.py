@@ -15,7 +15,12 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="Compute FID/KID between render folders")
     parser.add_argument("path_to_real_renderings")
     parser.add_argument("path_to_synthesized_renderings")
-    parser.add_argument("--features", choices=["pixel", "inception"], default="pixel")
+    parser.add_argument("--features", choices=["pixel", "inception"],
+                        default="inception",
+                        help="'inception' (default) needs --inception_weights "
+                        "and errors loudly without them; 'pixel' is an "
+                        "explicit offline opt-in, flagged comparable=false "
+                        "in the output JSON")
     parser.add_argument("--inception_weights", default=None)
     parser.add_argument("--inception_variant", choices=["fid", "torchvision"],
                         default="fid",
@@ -30,6 +35,9 @@ def main(argv=None):
         JaxInceptionFeatures, PixelFeatures, compute_fid_folders, compute_kid_folders,
     )
 
+    # "comparable" = the canonical Inception FID-network feature space
+    # (fid_pools); anything else is self-consistent but not paper-comparable.
+    comparable = args.features == "inception" and args.inception_variant == "fid"
     if args.features == "inception":
         # pure-JAX InceptionV3 (no torchvision); raises FileNotFoundError
         # loudly instead of silently printing a pixel-FID number
@@ -47,7 +55,8 @@ def main(argv=None):
     kid = compute_kid_folders(args.path_to_real_renderings,
                               args.path_to_synthesized_renderings, fn,
                               subset_size=args.kid_subset_size)
-    print(json.dumps({"fid": fid, "kid": kid, "features": args.features}))
+    print(json.dumps({"fid": fid, "kid": kid, "features": args.features,
+                      "comparable": comparable}))
 
 
 if __name__ == "__main__":

@@ -18,12 +18,19 @@ def main(argv=None):
     parser.add_argument("--k", type=int, default=3)
     parser.add_argument("--num_samples", type=int, default=5000)
     parser.add_argument("--features", choices=["pixel", "vgg", "inception"],
-                        default="pixel",
-                        help="'vgg' = the reference's VGG16-fc2 features via "
-                        "the pure-JAX backbone (needs --vgg_weights)")
+                        default="vgg",
+                        help="'vgg' (default) = the reference's VGG16-fc2 "
+                        "features via the pure-JAX backbone (needs "
+                        "--vgg_weights; errors loudly without them). 'pixel' "
+                        "is an explicit offline opt-in and is flagged "
+                        "comparable=false in the output JSON")
     parser.add_argument("--vgg_weights", default=None,
                         help="torchvision vgg16 state_dict (.pth) or .npz")
     parser.add_argument("--inception_weights", default=None)
+    parser.add_argument("--realism", action="store_true",
+                        help="also report per-sample realism scores of the "
+                        "synthesized set vs the real manifold "
+                        "(improved_precision_recall.py:273-281)")
     parser.add_argument("--toy", action="store_true",
                         help="self-check of the IPR math on synthetic gaussians "
                         "(improved_precision_recall.py:344-368)")
@@ -41,6 +48,9 @@ def main(argv=None):
         print(json.dumps({"toy": True, "precision": pr.precision, "recall": pr.recall}))
         return
 
+    # "comparable" = the reference's VGG16-fc2 feature space; any other
+    # extractor yields self-consistent but not paper-comparable numbers.
+    comparable = args.features == "vgg"
     if args.features == "vgg":
         from ..eval.fid import JaxVGG16Features
 
@@ -58,8 +68,19 @@ def main(argv=None):
     pr = compute_ipr_folders(args.path_to_real_renderings,
                              args.path_to_synthesized_renderings,
                              feature_fn=fn, k=args.k, num_samples=args.num_samples)
-    print(json.dumps({"precision": pr.precision, "recall": pr.recall,
-                      "features": args.features}))
+    payload = {"precision": pr.precision, "recall": pr.recall,
+               "features": args.features, "comparable": comparable}
+    if args.realism:
+        from ..eval.fid import load_image_folder
+        from ..eval.ipr import compute_realism_scores
+
+        scores = compute_realism_scores(
+            fn(load_image_folder(args.path_to_real_renderings)),
+            fn(load_image_folder(args.path_to_synthesized_renderings)),
+            k=args.k)
+        payload["realism_mean"] = float(scores.mean())
+        payload["realism_max"] = float(scores.max())
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

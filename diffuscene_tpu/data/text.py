@@ -380,6 +380,11 @@ def precompute_clip_text_embeddings(
     ``encode_text`` space, not the pre-projection pooled state.  Requires
     local HF weights, or pass pre-built ``tokenizer``/``model`` objects
     (offline tests construct tiny randomly-initialized ones).
+
+    Intentional divergence: descriptions longer than ``max_token_length``
+    are TRUNCATED here, whereas the reference's ``clip.tokenize`` default
+    (truncate=False) raises a RuntimeError on overlong input — truncation
+    is the sane production behavior; flagged so parity audits don't trip.
     """
     import torch  # CPU-only; eval path, never in the device hot loop
     from transformers import CLIPTextModelWithProjection, CLIPTokenizer

@@ -8,7 +8,14 @@ from .fid import (
     kid_from_features,
     load_image_folder,
 )
-from .ipr import PrecisionRecall, compute_ipr_folders, compute_precision_recall, knn_radii
+from .ipr import (
+    PrecisionRecall,
+    compute_ipr_folders,
+    compute_precision_recall,
+    compute_realism_scores,
+    knn_radii,
+    realism,
+)
 from .metrics import (
     bbox_iou_and_overlap_ratio,
     computer_intersection,

@@ -76,6 +76,36 @@ def compute_precision_recall(
     return PrecisionRecall(precision, recall)
 
 
+def realism(real_feats: np.ndarray, real_radii: np.ndarray,
+            subject_feat: np.ndarray, eps: float = 1e-6) -> float:
+    """Realism score of ONE subject feature against the real manifold.
+
+    Reference-exact port of `scripts/improved_precision_recall.py:273-281`
+    (module-level `realism`, exposed via `IPR.realism` at :88-94): the max
+    over real samples of radius_i / (||feat_i - subject|| + eps).  A score
+    >= 1 means the subject lies inside at least one real-manifold ball.
+    (The IPR paper additionally clips radii to the median before the ratio;
+    the reference code does not — we match the reference.)
+    """
+    dists = np.linalg.norm(
+        np.asarray(real_feats, np.float64) - np.asarray(subject_feat, np.float64),
+        axis=1)
+    return float((np.asarray(real_radii, np.float64) / (dists + eps)).max())
+
+
+def compute_realism_scores(real_feats: np.ndarray, subject_feats: np.ndarray,
+                           k: int = 3, eps: float = 1e-6) -> np.ndarray:
+    """Vectorized realism for a batch of subjects: (M,) scores.
+
+    Batched form of `realism` (one pairwise-distance matrix instead of M
+    row sweeps); the real manifold radii use the same k-NN rule as
+    precision/recall (improved_precision_recall.py:240-253).
+    """
+    radii = knn_radii(real_feats, k)
+    d = pairwise_distances(subject_feats, real_feats)  # (M, N)
+    return (radii[None, :] / (d + eps)).max(axis=1)
+
+
 def compute_ipr_folders(
     real_dir: str, fake_dir: str,
     feature_fn: Optional[Callable] = None,

@@ -84,6 +84,31 @@ def test_ipr_identical_sets():
     assert pr0.precision == 0.0 and pr0.recall == 0.0
 
 
+def test_realism_scores():
+    """realism = max_i radius_i / (||real_i - subject|| + 1e-6)
+    (improved_precision_recall.py:273-281), radii via the k-NN rule."""
+    from diffuscene_tpu.eval.ipr import compute_realism_scores, knn_radii, realism
+
+    rng = np.random.default_rng(2)
+    real = rng.normal(0, 1, (64, 8))
+    subjects = np.concatenate([real[:4] + 1e-4,            # near-duplicates
+                               rng.normal(0, 1, (8, 8)),    # in-distribution
+                               rng.normal(50, 1, (4, 8))])  # far outliers
+    radii = knn_radii(real, k=3)
+    scores = compute_realism_scores(real, subjects, k=3)
+    assert scores.shape == (16,)
+    # brute-force oracle per subject (the reference's exact formula)
+    for j in range(len(subjects)):
+        d = np.linalg.norm(real - subjects[j], axis=1)
+        expect = (radii / (d + 1e-6)).max()
+        # batched path uses the ||x||^2+||y||^2-2xy form -> ~1e-7 rel noise
+        np.testing.assert_allclose(scores[j], expect, rtol=1e-6)
+        np.testing.assert_allclose(realism(real, radii, subjects[j]), expect,
+                                   rtol=1e-12)
+    assert (scores[:4] > 1.0).all()      # near-duplicates are "realistic"
+    assert (scores[-4:] < 0.1).all()     # far outliers are not
+
+
 def test_split_network_samples():
     spec = AttributeSpec(class_dim=4, objfeat_dim=2)  # point_dim = 3+3+2+4+2
     B, N = 2, 5

@@ -166,3 +166,70 @@ def test_apply_text_emb_dim_default():
     cfg = {"network": {}, "data": {}}
     apply_text_emb_dim_default(cfg)
     assert "text_emb_dim" not in cfg["data"]
+
+
+def _tiny_bert(tmp_path):
+    """Tiny randomly-initialized BERT + offline vocab (no downloads)."""
+    from transformers import BertConfig, BertModel, BertTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "there", "is", "a", "bed", "and", "wardrobe", "."]
+    vocab_file = tmp_path / "vocab.txt"
+    vocab_file.write_text("\n".join(vocab) + "\n")
+    tok = BertTokenizer(str(vocab_file), do_lower_case=True)
+    cfg = BertConfig(vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+                     num_attention_heads=4, intermediate_size=37,
+                     max_position_embeddings=64)
+    model = BertModel(cfg)
+    return tok, model
+
+
+def _tiny_clip(tmp_path):
+    """Tiny randomly-initialized CLIP text tower + offline BPE files."""
+    import json as _json
+
+    from transformers import CLIPTextConfig, CLIPTextModelWithProjection, CLIPTokenizer
+
+    # minimal BPE vocab: specials + a few word-final tokens; everything else
+    # falls back to the unk token, which is all a shape test needs
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1,
+             "a</w>": 2, "bed</w>": 3, "room</w>": 4}
+    (tmp_path / "vocab.json").write_text(_json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text("#version: 0.2\n")
+    tok = CLIPTokenizer(str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    cfg = CLIPTextConfig(vocab_size=len(vocab), hidden_size=32,
+                         intermediate_size=37, num_hidden_layers=2,
+                         num_attention_heads=4, max_position_embeddings=77,
+                         projection_dim=16)
+    model = CLIPTextModelWithProjection(cfg)
+    return tok, model
+
+
+def test_precompute_bert_embeddings_offline(tmp_path):
+    """Injected-tiny-model path of precompute_bert_embeddings (ADVICE r2)."""
+    from diffuscene_tpu.data.text import precompute_bert_embeddings
+
+    tok, model = _tiny_bert(tmp_path)
+    out = precompute_bert_embeddings(
+        ["there is a bed .", "a wardrobe and a bed"],
+        max_token_length=12, tokenizer=tok, model=model)
+    assert out.shape == (2, 12, 32) and out.dtype == np.float32
+    assert np.isfinite(out).all()
+    # deterministic for a fixed (frozen) model
+    out2 = precompute_bert_embeddings(
+        ["there is a bed .", "a wardrobe and a bed"],
+        max_token_length=12, tokenizer=tok, model=model)
+    np.testing.assert_array_equal(out, out2)
+
+
+def test_precompute_clip_embeddings_offline(tmp_path):
+    """Injected-tiny-model path of precompute_clip_text_embeddings; overlong
+    descriptions truncate (intentional divergence from clip.tokenize)."""
+    from diffuscene_tpu.data.text import precompute_clip_text_embeddings
+
+    tok, model = _tiny_clip(tmp_path)
+    descs = ["a bed room", "bed " * 200]  # second is way past 77 tokens
+    out = precompute_clip_text_embeddings(
+        descs, max_token_length=77, tokenizer=tok, model=model)
+    assert out.shape == (2, 16) and out.dtype == np.float32  # (B, projection_dim)
+    assert np.isfinite(out).all()
