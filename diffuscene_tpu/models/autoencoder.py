@@ -158,11 +158,22 @@ class KLAutoEncoder(nn.Module):
         self.fc = nn.Dense(512)
         self.decoder = Decoder()
 
-    def encode(self, pc: jnp.ndarray, train: bool = False, deterministic: bool = False):
-        """(B, N, 3) -> (kl (B,), latent (B, latent_dim))."""
+    def posterior(self, pc: jnp.ndarray, train: bool = False):
+        """(B, N, 3) -> (mean, clipped logvar) of the latent posterior.
+
+        Exposed separately so callers (tests, noise-injected parity chains)
+        can sample with their own eps: lat = mean + exp(0.5*logvar) * eps —
+        the exact DiagonalGaussianDistribution.sample() form
+        (foldingnet_autoencoder.py:297-310).
+        """
         h = self.encoder(pc, train)
         mean = self.mean_fc(h)
         logvar = jnp.clip(self.logvar_fc(h), -30.0, 20.0)
+        return mean, logvar
+
+    def encode(self, pc: jnp.ndarray, train: bool = False, deterministic: bool = False):
+        """(B, N, 3) -> (kl (B,), latent (B, latent_dim))."""
+        mean, logvar = self.posterior(pc, train)
         if deterministic:
             lat = mean
         else:

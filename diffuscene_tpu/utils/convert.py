@@ -325,6 +325,62 @@ def convert_scene_model(state_dict: Dict[str, Any]) -> Dict:
     return out
 
 
+def convert_autoencoder(state_dict: Dict[str, Any]) -> Dict:
+    """Reference KLAutoEncoder state_dict -> flax variables for
+    ``models/autoencoder.KLAutoEncoder``.
+
+    Source layout (`foldingnet_autoencoder.py:337-390`):
+    - ``encoder.conv{1..4}`` k=1 Conv1d + ``encoder.bn{1..4}`` BatchNorm1d
+      (:161-207); ``encoder.graph_layer{1,2}.{conv,bn}`` (:131-160)
+    - ``mean_fc`` / ``logvar_fc`` / ``fc`` Linear (:343-347)
+    - ``decoder.fold{1,2}.layers`` Sequential [Conv1d, BN, ReLU, Conv1d, BN,
+      ReLU, Conv1d] -> indices 0/1/3/4/6 (:210-241)
+
+    Tensor rules: Conv1d (O, I, 1) -> Dense kernel (I, O); Linear (O, I) ->
+    (I, O); BatchNorm weight/bias -> params scale/bias, running_mean/var ->
+    batch_stats mean/var (same eps=1e-5 on both sides, nothing baked).
+
+    Returns ``{"params": ..., "batch_stats": ...}``.
+    """
+    sd = {k: _to_numpy(v) for k, v in state_dict.items()
+          if not k.endswith("num_batches_tracked")}
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv1d(dst, key):
+        _set(params, (*dst, "kernel"), sd[f"{key}.weight"][:, :, 0].T)
+        _set(params, (*dst, "bias"), sd[f"{key}.bias"])
+
+    def linear(dst, key):
+        _set(params, (*dst, "kernel"), sd[f"{key}.weight"].T)
+        _set(params, (*dst, "bias"), sd[f"{key}.bias"])
+
+    def bn(dst, key):
+        _set(params, (*dst, "scale"), sd[f"{key}.weight"])
+        _set(params, (*dst, "bias"), sd[f"{key}.bias"])
+        _set(stats, (*dst, "mean"), sd[f"{key}.running_mean"])
+        _set(stats, (*dst, "var"), sd[f"{key}.running_var"])
+
+    for i in range(1, 5):
+        conv1d(("encoder", f"conv{i}"), f"encoder.conv{i}")
+        bn(("encoder", f"bn{i}"), f"encoder.bn{i}")
+    for g in (1, 2):
+        conv1d(("encoder", f"graph_layer{g}", "conv"), f"encoder.graph_layer{g}.conv")
+        bn(("encoder", f"graph_layer{g}", "bn"), f"encoder.graph_layer{g}.bn")
+    linear(("mean_fc",), "mean_fc")
+    linear(("logvar_fc",), "logvar_fc")
+    linear(("fc",), "fc")
+    for f in (1, 2):
+        # Sequential indices: 0=conv, 1=bn, 3=conv, 4=bn, 6=out conv
+        conv1d(("decoder", f"fold{f}", "conv0"), f"decoder.fold{f}.layers.0")
+        bn(("decoder", f"fold{f}", "bn0"), f"decoder.fold{f}.layers.1")
+        conv1d(("decoder", f"fold{f}", "conv1"), f"decoder.fold{f}.layers.3")
+        bn(("decoder", f"fold{f}", "bn1"), f"decoder.fold{f}.layers.4")
+        conv1d(("decoder", f"fold{f}", "out"), f"decoder.fold{f}.layers.6")
+    return {"params": params, "batch_stats": stats}
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, Any]:
     """Load a torch .pt state_dict on CPU (weights only)."""
     import torch
