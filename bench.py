@@ -173,6 +173,104 @@ def train_metric(variant: str = "f32"):
     }))
 
 
+def multichip_metric(n_devices: int = 8):
+    """Multi-chip sampling throughput over an n-device mesh
+    (`python bench.py multichip [n]`).
+
+    Runs the ShardedSampler bench on a ('data',) mesh of n devices.  Sampling
+    is batch-parallel: params are replicated, the batch is sharded over
+    'data', and the 1000-step scan has NO cross-device traffic — every
+    collective-free step stays on-chip, so scaling is expected near-linear in
+    device count (the only shared costs are dispatch and the final gather).
+
+    On this box the mesh is n virtual CPU devices (plumbing + scaling-shape
+    validation with a tiny model); pointed at a real TPU pod slice the SAME
+    code path measures real chips with the flagship model.  Prints aggregate
+    and per-device scenes/sec.
+    """
+    import __graft_entry__ as graft
+    import jax
+
+    devices = jax.devices()
+    on_tpu = devices[0].platform != "cpu" and len(devices) >= n_devices
+    if not on_tpu and (len(devices) < n_devices or devices[0].platform != "cpu"):
+        # not enough real chips: fall back to n virtual CPU devices
+        if graft._ensure_virtual_cpu(n_devices):
+            devices = jax.devices()
+        elif os.environ.get("_BENCH_MULTICHIP_CHILD"):
+            raise SystemExit(f"could not obtain {n_devices} devices")
+        else:
+            # backend already committed with too few devices: re-exec clean
+            # (XLA parses its device-count flags once per process)
+            import subprocess
+            import sys
+
+            env = dict(os.environ, _BENCH_MULTICHIP_CHILD="1")
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "multichip", str(n_devices)],
+                cwd=os.path.dirname(os.path.abspath(__file__)), env=env)
+            raise SystemExit(res.returncode)
+
+    import jax.numpy as jnp
+    from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
+    from diffuscene_tpu.parallel import ShardedSampler, make_mesh
+
+    if on_tpu:
+        # flagship serving config: same as main()
+        dim, t_num, per_dev_b, n_runs = 512, 1000, 768, 2
+        compute_dtype = jnp.bfloat16
+    else:
+        # tiny model on virtual CPU devices: validates the sharded path and
+        # measures the scaling shape, not absolute TPU throughput
+        dim, t_num, per_dev_b, n_runs = 32, 20, 4, 3
+        compute_dtype = jnp.float32
+
+    net_kwargs = dict(
+        dim=dim, dim_mults=(1, 1, 1, 1), channels=62, objectness_dim=0,
+        class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
+        instanclass_dim=min(dim, 128), seperate_all=True,
+        compute_dtype=compute_dtype,
+    )
+    cfg = SceneModelConfig(
+        point_dim=62, class_dim=22, angle_dim=2, objectness_dim=0,
+        objfeat_dim=32, sample_num_points=12, room_mask_condition=False,
+        instance_condition=True, learnable_embedding=True,
+        instance_emb_dim=min(dim, 128),
+        model_mean_type="v", model_var_type="fixedsmall",
+        schedule_type="linear", beta_start=1e-4, beta_end=0.02, time_num=t_num,
+        loss_separate=True, loss_iou=False,
+        net_kwargs=tuple(sorted(net_kwargs.items())),
+    )
+    scene = SceneDiffusion(cfg)
+    mesh = make_mesh(n_data=n_devices, n_model=1, devices=devices[:n_devices])
+    sampler = ShardedSampler(scene, mesh, fused=True)
+    params = sampler.put_params(scene.init(jax.random.PRNGKey(0)))
+    B = per_dev_b * n_devices
+
+    out = sampler.sample(params, jax.random.PRNGKey(1), batch_size=B)  # compile
+    assert np.isfinite(out).all()
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = sampler.sample(params, jax.random.PRNGKey(2 + i), batch_size=B)
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = B * n_runs / dt
+    line = {
+        "metric": "multichip_sampler_scenes_per_sec",
+        "value": round(scenes_per_sec, 3),
+        "unit": "scenes/sec",
+        "n_devices": n_devices,
+        "platform": devices[0].platform,
+        "per_device_scenes_per_sec": round(scenes_per_sec / n_devices, 3),
+        "batch_per_device": per_dev_b,
+        "t_steps": t_num,
+        "denoiser_dim": dim,
+        "vs_baseline": None,
+    }
+    print(json.dumps(line))
+    return line
+
+
 def measure_reference(n_scenes: int = 2):
     """Measure the reference torch eval chain on this machine and write
     REFERENCE_BASELINE.json.
@@ -279,5 +377,10 @@ if __name__ == "__main__":
         train_metric(sys.argv[2] if len(sys.argv) > 2 else "f32")
     elif len(sys.argv) > 1 and sys.argv[1] == "reference":
         measure_reference()
+    elif len(sys.argv) > 1 and sys.argv[1] == "multichip":
+        multichip_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    elif len(sys.argv) > 1:
+        raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; "
+                         "expected one of train, reference, multichip")
     else:
         main()

@@ -23,6 +23,16 @@ def main(argv=None):
                         help="write latents here instead of next to the models")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="points fed to the encoder per object (default: "
+                        "dataset's, i.e. 2048)")
+    parser.add_argument("--lat_name", default=None,
+                        help="latent filename tag: raw_model_norm_pc_<tag>.npz. "
+                        "Defaults to lat{objfeat_dim}. The reference loader reads "
+                        "the 64-d file as 'lat' with no dim suffix "
+                        "(threed_front_scene.py:223-227) while its exporter writes "
+                        "lat64 (generate_objautoencoder.py:219-221) — pass "
+                        "--lat_name lat to produce loader-compatible files.")
     args = parser.parse_args(argv)
 
     from ..data.threed_future import ThreedFutureNormPCDataset
@@ -31,7 +41,9 @@ def main(argv=None):
     from ..utils import load_config, load_checkpoint
 
     config = load_config(args.config_file)
-    dataset = ThreedFutureNormPCDataset.from_pickled_dataset(args.path_to_pickled_dataset)
+    kwargs = {"num_samples": args.num_samples} if args.num_samples else {}
+    dataset = ThreedFutureNormPCDataset.from_pickled_dataset(
+        args.path_to_pickled_dataset, **kwargs)
     n_points = getattr(dataset, "num_samples", 2048)
 
     net_cfg = config.get("network", {})
@@ -57,14 +69,31 @@ def main(argv=None):
             )
             os.makedirs(out_dir, exist_ok=True)
             jid = dataset.get_model_jid(i)["model_jid"]
-            name = f"raw_model_norm_pc_lat{latent_dim}.npz" if not args.output_directory \
-                else f"{jid}_norm_pc_lat{latent_dim}.npz"
+            tag = args.lat_name or f"lat{latent_dim}"
+            name = f"raw_model_norm_pc_{tag}.npz" if not args.output_directory \
+                else f"{jid}_norm_pc_{tag}.npz"
             np.savez(os.path.join(out_dir, name), latent=lat[j].astype(np.float32))
         print(f"encoded {min(start + args.batch_size, len(dataset))}/{len(dataset)}")
 
     all_lat = np.concatenate(lats)
-    # global std scale report (generate_objautoencoder.py:225-230)
-    print(f"latent std: {all_lat.std():.6f}  min: {all_lat.min():.4f}  max: {all_lat.max():.4f}")
+    # global std scale report (generate_objautoencoder.py:225-230): the
+    # reference prints scale_factor = 1/std of the flattened latents, used to
+    # whiten objfeats downstream.  Persist it next to the checkpoints too.
+    std = float(all_lat.std())
+    stats = {
+        "latent_dim": latent_dim,
+        "std": std,
+        "scale_factor": (1.0 / std) if std > 0 else 1.0,
+        "min": float(all_lat.min()),
+        "max": float(all_lat.max()),
+        "n_objects": int(len(dataset)),
+    }
+    print(f"latent std: {stats['std']:.6f}  min: {stats['min']:.4f}  max: {stats['max']:.4f}")
+    print(f"scale factor: {stats['scale_factor']:.6f}")
+    import json
+
+    with open(os.path.join(args.weight_dir, f"lat{latent_dim}_stats.json"), "w") as f:
+        json.dump(stats, f)
 
 
 if __name__ == "__main__":

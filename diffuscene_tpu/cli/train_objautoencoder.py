@@ -22,6 +22,9 @@ def main(argv=None):
                         help="pickled ThreedFutureNormPCDataset (or reference pickle)")
     parser.add_argument("--seed", type=int, default=27)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--num_samples", type=int, default=None,
+                        help="points served per object (reference fixes 2048, "
+                        "threed_future_dataset.py:101); smaller for smoke runs")
     args = parser.parse_args(argv)
 
     from ..data.threed_future import ThreedFutureNormPCDataset
@@ -41,7 +44,9 @@ def main(argv=None):
         "pass --path_to_pickled_dataset (build it with cli.pickle_threed_future_pointcloud; "
         "the reference's raw-JSON path needs the 3D-FRONT download)"
     )
-    dataset = ThreedFutureNormPCDataset.from_pickled_dataset(args.path_to_pickled_dataset)
+    kwargs = {"num_samples": args.num_samples} if args.num_samples else {}
+    dataset = ThreedFutureNormPCDataset.from_pickled_dataset(
+        args.path_to_pickled_dataset, **kwargs)
     n_points = getattr(dataset, "num_samples", 2048)
 
     net_cfg = config.get("network", {})

@@ -89,13 +89,18 @@ class ThreedFutureDataset:
 
     # ------------------------------------------------------------------
     @classmethod
-    def from_pickled_dataset(cls, path: str) -> "ThreedFutureDataset":
+    def from_pickled_dataset(cls, path: str, **kwargs) -> "ThreedFutureDataset":
+        """Load a pickled catalog; extra kwargs (e.g. ``num_samples`` for
+        ThreedFutureNormPCDataset) are applied to the returned dataset."""
         with open(path, "rb") as f:
             dataset = pickle.load(f)
         if isinstance(dataset, cls):
+            for k, v in kwargs.items():
+                setattr(dataset, k, v)
             return dataset
-        # reference pickles store the reference class; re-wrap its objects
-        return cls(getattr(dataset, "objects", dataset))
+        # reference pickles store the reference class (or a plain catalog
+        # pickled as the base class); re-wrap its objects
+        return cls(getattr(dataset, "objects", dataset), **kwargs)
 
     def pickle(self, path: str):
         with open(path, "wb") as f:

@@ -25,3 +25,14 @@ def test_dryrun_multichip_runs_full_sharded_step():
 def test_ensure_virtual_cpu_idempotent():
     assert __graft_entry__._ensure_virtual_cpu(8)
     assert __graft_entry__._ensure_virtual_cpu(8)  # second call: no-op, still ok
+
+
+def test_bench_multichip_virtual_mesh():
+    """`bench.py multichip` runs green on the 8-virtual-CPU mesh and reports
+    aggregate + per-device scenes/s (VERDICT r2 item 8)."""
+    import bench
+
+    line = bench.multichip_metric(8)
+    assert line["n_devices"] == 8
+    assert line["value"] > 0
+    assert abs(line["per_device_scenes_per_sec"] - line["value"] / 8) < 1e-6
