@@ -40,6 +40,15 @@ def main(argv=None):
     parser.add_argument("--path_to_pickled_3d_futute_models", default=None)
     parser.add_argument("--compute_intersec", action="store_true")
     parser.add_argument("--render", action="store_true", help="save top-down renders")
+    parser.add_argument("--no_texture", action="store_true",
+                        help="render flat class colors instead of sampling the "
+                        "catalog diffuse textures (reference --no_texture)")
+    parser.add_argument("--path_to_floor_plan_textures", default=None,
+                        help="directory of floor texture images; when given, "
+                        "renders include a textured floor plan picked from the "
+                        "eval split (reference generate_diffusion.py:66-68,305-309)")
+    parser.add_argument("--without_floor", action="store_true",
+                        help="skip the floor plan in renders (reference :142-144)")
     parser.add_argument("--save_mesh", action="store_true")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of the sampling "
@@ -104,6 +113,14 @@ def main(argv=None):
             args.path_to_pickled_3d_futute_models
         )
 
+    floor_textures = []
+    floor_rng = np.random.default_rng(args.seed)
+    if args.path_to_floor_plan_textures and os.path.isdir(args.path_to_floor_plan_textures):
+        floor_textures = sorted(
+            os.path.join(args.path_to_floor_plan_textures, f)
+            for f in os.listdir(args.path_to_floor_plan_textures)
+            if f.lower().endswith((".png", ".jpg", ".jpeg")))
+
     # batched jitted sampling (vs generate_diffusion.py:294 batch-1 loop)
     @jax.jit
     def sample_batch(params, key, text_emb=None):
@@ -150,11 +167,13 @@ def main(argv=None):
             if args.render:
                 if objects_dataset is not None:
                     # mesh-accurate top-down render of the retrieved catalog
-                    # meshes (generate_diffusion.py:251-264 path); class-
-                    # colored to stay palette-consistent with the box renders
+                    # meshes (generate_diffusion.py:251-264 path).  Textured
+                    # meshes sample their diffuse map; the class palette is
+                    # the flat fallback (and the whole look with --no_texture)
                     from ..eval.render import class_colors, render_meshes_topdown
                     from ..eval.retrieval import (
-                        get_textured_objects, get_textured_objects_based_on_objfeats)
+                        floor_plan_from_scene, get_textured_objects,
+                        get_textured_objects_based_on_objfeats)
 
                     if args.retrive_objfeats:
                         meshes = get_textured_objects_based_on_objfeats(
@@ -166,7 +185,18 @@ def main(argv=None):
                     cls = np.asarray(boxes["class_labels"])
                     cls = cls[0] if cls.ndim == 3 else cls
                     colors = pal[cls.argmax(-1)]
-                    img = render_meshes_topdown(meshes, colors=colors)
+                    if not args.without_floor and hasattr(raw, "get_floor_plan") \
+                            and len(raw) > 0:
+                        # a floor plan from the eval split, textured when a
+                        # texture dir is given (generate_diffusion.py:305-309)
+                        floor = floor_plan_from_scene(
+                            raw.get_floor_plan(idx % len(raw)), floor_textures,
+                            rng=floor_rng)
+                        meshes = [floor] + meshes
+                        colors = np.concatenate(
+                            [np.array([[230, 230, 230]], np.uint8), colors])
+                    img = render_meshes_topdown(
+                        meshes, colors=colors, use_textures=not args.no_texture)
                 else:
                     img = render_scene_dict(boxes, floor_mask=None)
                 save_image(img, os.path.join(args.output_directory, f"{idx:05d}.png"))

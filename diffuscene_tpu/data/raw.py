@@ -63,6 +63,106 @@ def load_obj_vertices_faces(path: str):
     return np.asarray(vertices, np.float64), np.asarray(faces, np.int64)
 
 
+def _parse_mtl_diffuse(mtl_path: str) -> Dict[str, Dict]:
+    """material name -> {"map_kd": abs path | None, "kd": (3,) float | None}.
+
+    Minimal MTL reader for the diffuse channel only — the reference's
+    TexturedMesh uses the diffuse texture for rendering
+    (scene_synthesis/utils.py:10-77 via simple_3dviz TexturedMesh.from_file).
+    """
+    materials: Dict[str, Dict] = {}
+    cur = None
+    base = os.path.dirname(os.path.abspath(mtl_path))
+    try:
+        with open(mtl_path, "r", errors="ignore") as f:
+            for line in f:
+                parts = line.split()
+                if not parts:
+                    continue
+                if parts[0] == "newmtl" and len(parts) > 1:
+                    cur = parts[1]
+                    materials[cur] = {"map_kd": None, "kd": None}
+                elif parts[0] == "map_Kd" and cur and len(parts) > 1:
+                    materials[cur]["map_kd"] = os.path.join(base, parts[-1])
+                elif parts[0] == "Kd" and cur and len(parts) >= 4:
+                    materials[cur]["kd"] = np.asarray(
+                        [float(parts[1]), float(parts[2]), float(parts[3])],
+                        np.float32)
+    except OSError:
+        pass
+    return materials
+
+
+def load_obj_mesh(path: str) -> Dict:
+    """OBJ reader keeping UVs and the MTL diffuse map.
+
+    Returns ``{"vertices": (V, 3) f64, "faces": (F, 3) i64,
+    "face_uvs": (F, 3, 2) f64 | None, "texture_path": str | None,
+    "kd": (3,) f32 | None}``.  Polygons are fan-triangulated with UV indices
+    kept aligned.  ``texture_path`` resolves, in order: the active material's
+    ``map_Kd``, any material's ``map_Kd``, or a ``texture.png`` next to the
+    OBJ (the 3D-FUTURE layout the reference reads directly,
+    threed_front_scene.py:241-246).  Replaces trimesh's TexturedMesh loading
+    (scene_synthesis/utils.py:36-38) for the native renderer.
+    """
+    vertices: List[List[float]] = []
+    uvs: List[List[float]] = []
+    faces: List[List[int]] = []
+    face_uv_idx: List[List[int]] = []
+    mtllib = None
+    usemtl = None
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                vertices.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("vt "):
+                p = line.split()
+                uvs.append([float(p[1]), float(p[2]) if len(p) > 2 else 0.0])
+            elif line.startswith("f "):
+                vi, ti = [], []
+                for tok in line.split()[1:]:
+                    sub = tok.split("/")
+                    i = int(sub[0])
+                    vi.append(i - 1 if i > 0 else len(vertices) + i)
+                    if len(sub) > 1 and sub[1]:
+                        j = int(sub[1])
+                        ti.append(j - 1 if j > 0 else len(uvs) + j)
+                    else:
+                        ti.append(-1)
+                for k in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[k], vi[k + 1]])
+                    face_uv_idx.append([ti[0], ti[k], ti[k + 1]])
+            elif line.startswith("mtllib ") and mtllib is None:
+                mtllib = line.split(None, 1)[1].strip()
+            elif line.startswith("usemtl ") and usemtl is None:
+                usemtl = line.split(None, 1)[1].strip()
+
+    v = np.asarray(vertices, np.float64)
+    fc = np.asarray(faces, np.int64).reshape(-1, 3)
+    uv_idx = np.asarray(face_uv_idx, np.int64).reshape(-1, 3)
+    face_uvs = None
+    if len(uvs) and len(fc) and (uv_idx >= 0).all():
+        face_uvs = np.asarray(uvs, np.float64)[uv_idx]  # (F, 3, 2)
+
+    texture_path, kd = None, None
+    base = os.path.dirname(os.path.abspath(path))
+    if mtllib:
+        mats = _parse_mtl_diffuse(os.path.join(base, mtllib))
+        mat = mats.get(usemtl) if usemtl in mats else None
+        if mat is None and mats:
+            mat = next(iter(mats.values()))
+        if mat:
+            texture_path, kd = mat["map_kd"], mat["kd"]
+    if texture_path is not None and not os.path.isfile(texture_path):
+        texture_path = None
+    if texture_path is None:
+        fallback = os.path.join(base, "texture.png")
+        texture_path = fallback if os.path.isfile(fallback) else None
+    return {"vertices": v, "faces": fc, "face_uvs": face_uvs,
+            "texture_path": texture_path, "kd": kd}
+
+
 @dataclass
 class Asset:
     """3D-FUTURE model metadata.  (threed_front_scene.py:33-44)"""

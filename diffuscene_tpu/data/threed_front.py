@@ -139,6 +139,17 @@ class CachedThreedFront:
     def __getitem__(self, i: int) -> Dict[str, np.ndarray]:
         return self.get_room_params(i)
 
+    def get_floor_plan(self, i: int) -> Dict[str, np.ndarray]:
+        """Floor-plan arrays of room ``i`` (vertices/faces/centroid), as
+        stored by preprocess_data — the reference reads the same keys for
+        floor_plan_from_scene (scripts/utils.py:65-120)."""
+        D = np.load(self._path_to_rooms[i])
+        return {
+            "floor_plan_vertices": np.asarray(D["floor_plan_vertices"], np.float64),
+            "floor_plan_faces": np.asarray(D["floor_plan_faces"], np.int64),
+            "floor_plan_centroid": np.asarray(D["floor_plan_centroid"], np.float64),
+        }
+
     @property
     def scene_ids(self) -> List[str]:
         return [t.split("_")[1] if "_" in t else t for t in self._tags]

@@ -99,6 +99,19 @@ def _label_color(label: str, palette: Dict[str, np.ndarray]) -> np.ndarray:
     return palette[label]
 
 
+def _load_texture(path: str, cache: Dict[str, Optional[np.ndarray]]):
+    """(H, W, 3) float32 RGB image, memoized by path; None if unreadable."""
+    if path not in cache:
+        try:
+            from PIL import Image
+
+            with Image.open(path) as im:
+                cache[path] = np.asarray(im.convert("RGB"), np.float32)
+        except Exception:
+            cache[path] = None
+    return cache[path]
+
+
 def render_meshes_topdown(
     meshes,  # Sequence[SceneMesh] (eval/retrieval.py) in world units
     image_size: int = 256,
@@ -106,6 +119,7 @@ def render_meshes_topdown(
     colors: Optional[np.ndarray] = None,  # (len(meshes), 3) uint8 overrides
     palette: Optional[Dict[str, np.ndarray]] = None,  # label -> RGB
     background: tuple = (255, 255, 255),
+    use_textures: bool = True,
 ) -> np.ndarray:
     """Rasterize retrieved scene meshes top-down orthographically.
 
@@ -113,21 +127,36 @@ def render_meshes_topdown(
     top-down camera (scripts/generate_diffusion.py:251-264, scripts/
     utils.py:220-239); this is the dependency-free numpy equivalent: x -> u,
     z -> v projection, per-pixel z-buffer on world y (height), flat lambert
-    shading from the face normal.  Returns (S, S, 3) uint8.
+    shading from the face normal.  When a mesh carries ``face_uvs`` + a
+    readable ``texture_path`` (and ``use_textures``), the diffuse texture is
+    sampled per pixel by barycentric UV interpolation (nearest texel, OBJ
+    bottom-left origin, wrap) — the reference's textured-mesh rendering
+    (scene_synthesis/utils.py:10-77, scripts/utils.py:220-239); otherwise a
+    flat per-mesh color is used (colors override > MTL Kd > label palette).
+    Returns (S, S, 3) uint8.
     """
     img = np.empty((image_size, image_size, 3), np.float32)
     img[:] = background
     zbuf = np.full((image_size, image_size), -np.inf, np.float32)
     scale = image_size / (2.0 * room_extent)
     palette = palette if palette is not None else {}
+    tex_cache: Dict[str, Optional[np.ndarray]] = {}
 
     for mi, mesh in enumerate(meshes):
         verts = np.asarray(mesh.vertices, np.float64)
         faces = np.asarray(mesh.faces, np.int64)
         if len(faces) == 0 or len(verts) == 0:
             continue
+        tex = face_uvs = None
+        if (use_textures and getattr(mesh, "texture_path", None)
+                and getattr(mesh, "face_uvs", None) is not None):
+            tex = _load_texture(mesh.texture_path, tex_cache)
+            if tex is not None:
+                face_uvs = np.asarray(mesh.face_uvs, np.float64)
         if colors is not None:
             base = np.asarray(colors[mi], np.float32)
+        elif getattr(mesh, "kd", None) is not None:
+            base = np.asarray(mesh.kd, np.float32) * 255.0
         else:
             base = _label_color(getattr(mesh, "label", "object"), palette
                                 ).astype(np.float32)
@@ -174,8 +203,22 @@ def render_meshes_topdown(
             if not win.any():
                 continue
             sub[win] = py[win]
+            if face_uvs is not None:
+                # barycentric UV interpolation at the winning pixels, then
+                # nearest-texel lookup (vt origin is bottom-left; wrap)
+                fuv = face_uvs[fi]  # (3, 2)
+                tu = (w0 * fuv[0, 0] + w1 * fuv[1, 0] + w2 * fuv[2, 0])[win]
+                tv = (w0 * fuv[0, 1] + w1 * fuv[1, 1] + w2 * fuv[2, 1])[win]
+                tu = tu - np.floor(tu)
+                tv = tv - np.floor(tv)
+                th, tw = tex.shape[:2]
+                px = np.minimum((tu * tw).astype(np.int64), tw - 1)
+                pyi = np.minimum(((1.0 - tv) * th).astype(np.int64), th - 1)
+                color = tex[pyi, px]
+            else:
+                color = base
             img[lo_v[fi]:hi_v[fi] + 1, lo_u[fi]:hi_u[fi] + 1][win] = (
-                base * shade[fi])
+                color * shade[fi])
     return np.clip(img, 0, 255).astype(np.uint8)
 
 

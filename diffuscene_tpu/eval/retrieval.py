@@ -18,13 +18,21 @@ import numpy as np
 
 @dataclass
 class SceneMesh:
-    """A retrieved, world-transformed furniture mesh."""
+    """A retrieved, world-transformed furniture mesh.
+
+    ``face_uvs`` is (F, 3, 2) per-corner texture coordinates (OBJ ``vt``
+    convention: origin bottom-left, wrap allowed); ``texture_path`` the
+    diffuse image; ``kd`` a flat diffuse color fallback — together the
+    diffuse channel of the reference's TexturedMesh
+    (scene_synthesis/utils.py:36-38)."""
 
     vertices: np.ndarray
     faces: np.ndarray
     label: str
     model_jid: Optional[str] = None
     texture_path: Optional[str] = None
+    face_uvs: Optional[np.ndarray] = None
+    kd: Optional[np.ndarray] = None
 
     @property
     def bounding_box(self) -> np.ndarray:
@@ -55,6 +63,28 @@ def _squeeze(boxes: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             for k, v in boxes.items() if not isinstance(v, (str, list))}
 
 
+def _load_mesh(obj):
+    """(vertices, faces, face_uvs, texture_path, kd) for a catalog object.
+
+    Prefers the UV+MTL-aware loader on the raw OBJ path (so renders can
+    texture-sample, like the reference's TexturedMesh.from_file,
+    scene_synthesis/utils.py:36-38); falls back to the object's own
+    ``raw_model()``/``texture_image_path`` for non-file-backed objects.
+    """
+    path = getattr(obj, "raw_model_path", None)
+    if path and os.path.isfile(path):
+        from ..data.raw import load_obj_mesh
+
+        m = load_obj_mesh(path)
+        return (m["vertices"], m["faces"], m["face_uvs"],
+                m["texture_path"], m["kd"])
+    v, f = obj.raw_model()
+    tex = getattr(obj, "texture_image_path", None)
+    if tex is not None and not os.path.isfile(tex):
+        tex = None
+    return v, f, None, tex, None
+
+
 def get_textured_objects(boxes: Dict[str, np.ndarray], objects_dataset,
                          class_labels: Sequence[str]) -> List[SceneMesh]:
     """Retrieve the closest catalog mesh per object by class + size.
@@ -69,12 +99,12 @@ def get_textured_objects(boxes: Dict[str, np.ndarray], objects_dataset,
     for i in range(len(b["class_labels"])):
         label = class_labels[int(b["class_labels"][i].argmax())]
         obj = objects_dataset.get_closest_furniture_to_box(label, b["sizes"][i])
-        v, f = obj.raw_model()
+        v, f, uvs, tex, kd = _load_mesh(obj)
         v = v * getattr(obj, "scale", 1.0)
         out.append(SceneMesh(
             vertices=_transform_vertices(v, theta[i], b["translations"][i]),
             faces=f, label=label, model_jid=getattr(obj, "model_jid", None),
-            texture_path=getattr(obj, "texture_image_path", None),
+            texture_path=tex, face_uvs=uvs, kd=kd,
         ))
     return out
 
@@ -98,23 +128,27 @@ def get_textured_objects_based_on_objfeats(
                 label, feats[i], b["sizes"][i])
         else:
             obj = objects_dataset.get_closest_furniture_to_objfeats(label, feats[i])
-        v, f = obj.raw_model()
+        v, f, uvs, tex, kd = _load_mesh(obj)
         out.append(SceneMesh(
             vertices=_transform_vertices(v, theta[i], b["translations"][i],
                                          target_size=b["sizes"][i]),
             faces=f, label=label, model_jid=getattr(obj, "model_jid", None),
-            texture_path=getattr(obj, "texture_image_path", None),
+            texture_path=tex, face_uvs=uvs, kd=kd,
         ))
     return out
 
 
 def floor_plan_from_scene(room, floor_textures: Sequence[str] = (),
-                          rng: Optional[np.random.Generator] = None) -> SceneMesh:
+                          rng: Optional[np.random.Generator] = None,
+                          texture_scale: float = 2.0) -> SceneMesh:
     """Floor mesh of a cached/raw room, centered at its centroid.
 
     (scripts/utils.py:65-181 minus the simple_3dviz renderable wrapping.)
     Accepts anything exposing ``floor_plan`` and ``floor_plan_centroid`` —
-    a raw `Room` or a cached boxes.npz record dict.
+    a raw `Room` or a cached boxes.npz record dict.  When a texture is
+    chosen, the floor gets world-plane UVs tiled every ``texture_scale``
+    meters (the reference tiles its floor texture over the plan the same
+    way, scripts/utils.py:160-176); the renderer wraps UVs mod 1.
     """
     if isinstance(room, dict):
         vertices = np.asarray(room["floor_plan_vertices"])
@@ -127,8 +161,13 @@ def floor_plan_from_scene(room, floor_textures: Sequence[str] = (),
     if floor_textures:
         rng = rng or np.random.default_rng()
         texture = floor_textures[int(rng.integers(len(floor_textures)))]
-    return SceneMesh(vertices=vertices - centroid, faces=faces,
-                     label="floor", texture_path=texture)
+    vertices = vertices - centroid
+    face_uvs = None
+    if texture is not None and len(faces):
+        uv = vertices[:, [0, 2]] / float(texture_scale)
+        face_uvs = uv[np.asarray(faces, np.int64)]  # (F, 3, 2)
+    return SceneMesh(vertices=vertices, faces=faces,
+                     label="floor", texture_path=texture, face_uvs=face_uvs)
 
 
 def merge_meshes(meshes: Sequence[SceneMesh]) -> SceneMesh:

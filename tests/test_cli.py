@@ -161,6 +161,66 @@ def test_generate_cli_mesh_renders(synth_config):
     assert (img == 255).all(-1).any() and ((img != 255).any(-1)).any()
 
 
+class _TexturedMeshObj(_MeshObj):
+    """Catalog object backed by a real OBJ+MTL+texture on disk."""
+
+    def __init__(self, label, size, obj_dir):
+        super().__init__(label, size)
+        os.makedirs(obj_dir, exist_ok=True)
+        from PIL import Image
+
+        Image.fromarray(np.full((4, 4, 3), [255, 0, 255], np.uint8)).save(
+            os.path.join(obj_dir, "tex.png"))
+        with open(os.path.join(obj_dir, "m.mtl"), "w") as f:
+            f.write("newmtl m\nmap_Kd tex.png\n")
+        v, faces = self.raw_model()
+        lines = ["mtllib m.mtl", "usemtl m"]
+        lines += [f"v {x} {y} {z}" for x, y, z in v]
+        lines += ["vt 0.5 0.5"]
+        lines += [f"f {a+1}/1 {b+1}/1 {c+1}/1" for a, b, c in faces]
+        self.raw_model_path = os.path.join(obj_dir, "raw_model.obj")
+        with open(self.raw_model_path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+
+def test_generate_cli_textured_renders(synth_config):
+    """--render with a textured catalog + floor textures samples the diffuse
+    maps per pixel (reference textured-mesh renders, scripts/utils.py:220-239);
+    --no_texture restores flat class colors."""
+    from PIL import Image
+
+    from diffuscene_tpu.cli.generate_diffusion import main
+    from diffuscene_tpu.data.synthetic import BEDROOM_TYPES
+    from diffuscene_tpu.data.threed_future import ThreedFutureDataset
+
+    cfg_path, root = synth_config
+    exp = os.path.join(root, "out", "e2e")
+    pkl = os.path.join(root, "future_models_tex.pkl")
+    ThreedFutureDataset(
+        [_TexturedMeshObj(t, [0.5, 0.4, 0.5], os.path.join(root, "objs", t))
+         for t in BEDROOM_TYPES]).pickle(pkl)
+    floor_dir = os.path.join(root, "floor_textures")
+    os.makedirs(floor_dir, exist_ok=True)
+    Image.fromarray(np.full((4, 4, 3), [0, 200, 200], np.uint8)).save(
+        os.path.join(floor_dir, "floor_00.png"))
+
+    gen_dir = os.path.join(root, "generated_textured")
+    main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "1",
+          "--batch_size", "8", "--render",
+          "--path_to_pickled_3d_futute_models", pkl,
+          "--path_to_floor_plan_textures", floor_dir])
+    img = np.asarray(Image.open(os.path.join(gen_dir, "00000.png")))
+    # horizontal top faces have shade 1.0 -> exact magenta texels
+    assert (img == [255, 0, 255]).all(-1).any()
+
+    flat_dir = os.path.join(root, "generated_flat")
+    main([cfg_path, flat_dir, "--weight_file", exp, "--n_sequences", "1",
+          "--batch_size", "8", "--render", "--no_texture", "--without_floor",
+          "--path_to_pickled_3d_futute_models", pkl])
+    img2 = np.asarray(Image.open(os.path.join(flat_dir, "00000.png")))
+    assert not (img2 == [255, 0, 255]).all(-1).any()
+
+
 def test_completion_cli(synth_config):
     from diffuscene_tpu.cli.completion_rearrange import main
 

@@ -1,0 +1,219 @@
+"""Texture-sampled mesh rendering (VERDICT r2 missing #4).
+
+Covers the UV+MTL-aware OBJ loader (data/raw.load_obj_mesh), barycentric
+texture sampling in eval/render.render_meshes_topdown, floor-plan UV tiling
+(eval/retrieval.floor_plan_from_scene), and the retrieval integration —
+the native equivalents of the reference's TexturedMesh pipeline
+(scene_synthesis/utils.py:10-77, scripts/utils.py:65-181,220-239).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from diffuscene_tpu.data.raw import load_obj_mesh
+from diffuscene_tpu.eval.render import render_meshes_topdown
+from diffuscene_tpu.eval.retrieval import SceneMesh, floor_plan_from_scene
+
+PIL = pytest.importorskip("PIL")
+from PIL import Image  # noqa: E402
+
+
+def _write_texture(path, arr):
+    Image.fromarray(np.asarray(arr, np.uint8)).save(path)
+    return str(path)
+
+
+# 2x2 texture: rows are texture-image rows (row 0 = top = vt v=1)
+QUAD_TEX = np.array([[[255, 0, 0], [0, 255, 0]],
+                     [[0, 0, 255], [255, 255, 0]]], np.uint8)
+
+
+def _textured_quad(tex_path):
+    """Horizontal quad y=1 over x,z in [-1,1], u=(x+1)/2, v=1-(z+1)/2.
+
+    With the bottom-left vt origin, texture row then tracks +z and texture
+    column tracks +x: quadrants are R(x<0,z<0) G(x>0,z<0) B(x<0,z>0)
+    Y(x>0,z>0).
+    """
+    verts = np.array([[-1, 1, -1], [1, 1, -1], [1, 1, 1], [-1, 1, 1]],
+                     np.float64)
+    uvs = np.array([[0, 1], [1, 1], [1, 0], [0, 0]], np.float64)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int64)
+    return SceneMesh(vertices=verts, faces=faces, label="quad",
+                     texture_path=tex_path, face_uvs=uvs[faces])
+
+
+def test_textured_quad_samples_texture(tmp_path):
+    tex = _write_texture(tmp_path / "t.png", QUAD_TEX)
+    mesh = _textured_quad(tex)
+    S, E = 64, 2.0
+    img = render_meshes_topdown([mesh], image_size=S, room_extent=E)
+    scale = S / (2 * E)
+
+    def px(x, z):
+        return int((z + E) * scale), int((x + E) * scale)
+
+    # horizontal face -> shade 1.0 -> exact texel colors
+    np.testing.assert_array_equal(img[px(-0.5, -0.5)], [255, 0, 0])
+    np.testing.assert_array_equal(img[px(0.5, -0.5)], [0, 255, 0])
+    np.testing.assert_array_equal(img[px(-0.5, 0.5)], [0, 0, 255])
+    np.testing.assert_array_equal(img[px(0.5, 0.5)], [255, 255, 0])
+    # background untouched
+    np.testing.assert_array_equal(img[0, 0], [255, 255, 255])
+
+    # use_textures=False falls back to the flat override color even though
+    # the mesh carries a texture (the CLI's --no_texture path)
+    flat = render_meshes_topdown([mesh], image_size=S, room_extent=E,
+                                 colors=np.array([[10, 20, 30]], np.uint8),
+                                 use_textures=False)
+    for q in [(-0.5, -0.5), (0.5, -0.5), (-0.5, 0.5), (0.5, 0.5)]:
+        np.testing.assert_array_equal(flat[px(*q)], [10, 20, 30])
+
+    # texture wins over a colors= override when sampling is on (the CLI
+    # always passes class colors as the fallback palette)
+    both = render_meshes_topdown([mesh], image_size=S, room_extent=E,
+                                 colors=np.array([[10, 20, 30]], np.uint8))
+    np.testing.assert_array_equal(both[px(-0.5, -0.5)], [255, 0, 0])
+
+
+def test_uv_wrap_tiles_texture(tmp_path):
+    """UVs outside [0,1) wrap (floor-plan tiling relies on this)."""
+    tex = _write_texture(tmp_path / "t.png", QUAD_TEX)
+    mesh = _textured_quad(tex)
+    # scale UVs x3: u=3(x+1)/2 -> at x=-0.9 u=0.15 (R/B col), x=-0.4
+    # u=0.9 -> frac 0.9 (G/Y col), x=0.1 u=1.65 -> frac .65 (G/Y col)
+    mesh.face_uvs = mesh.face_uvs * 3.0
+    S, E = 128, 2.0
+    img = render_meshes_topdown([mesh], image_size=S, room_extent=E)
+    scale = S / (2 * E)
+
+    def px(x, z):
+        return int((z + E) * scale), int((x + E) * scale)
+
+    row = img[px(-0.9, 0.9)], img[px(-0.4, 0.9)], img[px(0.1, 0.9)]
+    np.testing.assert_array_equal(row[0], [0, 0, 255])     # blue (z>0 col 0)
+    np.testing.assert_array_equal(row[1], [255, 255, 0])   # yellow
+    np.testing.assert_array_equal(row[2], [255, 255, 0])   # wrapped yellow
+
+
+def test_kd_flat_color_fallback():
+    """MTL Kd colors an untextured mesh when no colors override is given."""
+    verts = np.array([[-1, 1, -1], [1, 1, -1], [-1, 1, 1]], np.float64)
+    mesh = SceneMesh(vertices=verts, faces=np.array([[0, 1, 2]]),
+                     label="x", kd=np.array([0.5, 0.0, 1.0], np.float32))
+    img = render_meshes_topdown([mesh], image_size=32, room_extent=2.0)
+    inside = (img != 255).any(-1)
+    assert inside.any()
+    np.testing.assert_array_equal(img[inside][0], [127, 0, 255])
+
+
+def _write_obj(tmp_path, with_mtl=True, with_uvs=True, quad=True):
+    lines = []
+    if with_mtl:
+        lines.append("mtllib model.mtl")
+    lines += ["v -1 0 -1", "v 1 0 -1", "v 1 0 1", "v -1 0 1"]
+    if with_uvs:
+        lines += ["vt 0 0", "vt 1 0", "vt 1 1", "vt 0 1"]
+    if with_mtl:
+        lines.append("usemtl wood")
+    if quad:
+        lines.append("f 1/1 2/2 3/3 4/4" if with_uvs else "f 1 2 3 4")
+    else:
+        lines += (["f 1/1 2/2 3/3", "f 1/1 3/3 4/4"] if with_uvs
+                  else ["f 1 2 3", "f 1 3 4"])
+    p = tmp_path / "model.obj"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_load_obj_mesh_uv_and_mtl(tmp_path):
+    tex = _write_texture(tmp_path / "wood.png", QUAD_TEX)
+    (tmp_path / "model.mtl").write_text(
+        "newmtl wood\nKd 0.8 0.7 0.6\nmap_Kd wood.png\n")
+    m = load_obj_mesh(_write_obj(tmp_path))
+    assert m["vertices"].shape == (4, 3)
+    # quad fan-triangulated with aligned UV indices
+    np.testing.assert_array_equal(m["faces"], [[0, 1, 2], [0, 2, 3]])
+    assert m["face_uvs"].shape == (2, 3, 2)
+    np.testing.assert_allclose(m["face_uvs"][0],
+                               [[0, 0], [1, 0], [1, 1]])
+    np.testing.assert_allclose(m["face_uvs"][1],
+                               [[0, 0], [1, 1], [0, 1]])
+    assert os.path.samefile(m["texture_path"], tex)
+    np.testing.assert_allclose(m["kd"], [0.8, 0.7, 0.6])
+
+
+def test_load_obj_mesh_fallbacks(tmp_path):
+    # no MTL, no texture.png -> geometry only
+    m = load_obj_mesh(_write_obj(tmp_path, with_mtl=False))
+    assert m["texture_path"] is None and m["kd"] is None
+    assert m["face_uvs"].shape == (2, 3, 2)
+    # no UVs at all -> face_uvs None
+    m2 = load_obj_mesh(_write_obj(tmp_path, with_mtl=False, with_uvs=False))
+    assert m2["face_uvs"] is None
+    # texture.png sitting next to the OBJ (the 3D-FUTURE layout,
+    # threed_front_scene.py:241-246) is picked up without any MTL
+    _write_texture(tmp_path / "texture.png", QUAD_TEX)
+    m3 = load_obj_mesh(_write_obj(tmp_path, with_mtl=False))
+    assert m3["texture_path"].endswith("texture.png")
+
+
+def test_floor_plan_uv_tiling(tmp_path):
+    tex = _write_texture(tmp_path / "floor.png", QUAD_TEX)
+    room = {
+        "floor_plan_vertices": np.array(
+            [[0, 0, 0], [4, 0, 0], [4, 0, 4], [0, 0, 4]], np.float64),
+        "floor_plan_faces": np.array([[0, 1, 2], [0, 2, 3]], np.int64),
+        "floor_plan_centroid": np.array([2.0, 0.0, 2.0]),
+    }
+    floor = floor_plan_from_scene(room, [tex],
+                                  rng=np.random.default_rng(0),
+                                  texture_scale=2.0)
+    assert floor.texture_path == tex
+    # vertices centered at the centroid; UVs are world x,z / texture_scale
+    np.testing.assert_allclose(floor.vertices.mean(0), [0, 0, 0], atol=1e-9)
+    expect_uv = (room["floor_plan_vertices"] -
+                 room["floor_plan_centroid"])[:, [0, 2]] / 2.0
+    np.testing.assert_allclose(
+        floor.face_uvs, expect_uv[room["floor_plan_faces"]])
+    # renders without error and shows texture (not the label palette)
+    img = render_meshes_topdown([floor], image_size=64, room_extent=3.0)
+    assert (img != 255).any()
+    # no textures given -> no UVs, no crash
+    bare = floor_plan_from_scene(room)
+    assert bare.texture_path is None and bare.face_uvs is None
+
+
+class _FileObj:
+    """Catalog object backed by a real OBJ on disk (retrieval fast path)."""
+
+    def __init__(self, path, label="chair"):
+        self.raw_model_path = path
+        self.label = label
+        self.size = np.array([1.0, 0.5, 1.0], np.float32)
+        self.model_jid = "jid0"
+        self.scale = 1.0
+
+
+def test_retrieval_carries_texture_through(tmp_path):
+    from diffuscene_tpu.data.threed_future import ThreedFutureDataset
+    from diffuscene_tpu.eval.retrieval import get_textured_objects
+
+    _write_texture(tmp_path / "wood.png", QUAD_TEX)
+    (tmp_path / "model.mtl").write_text("newmtl wood\nmap_Kd wood.png\n")
+    ds = ThreedFutureDataset([_FileObj(_write_obj(tmp_path))])
+    boxes = {
+        "translations": np.zeros((1, 3), np.float32),
+        "sizes": np.array([[1, 0.5, 1]], np.float32),
+        "angles": np.zeros((1, 1), np.float32),
+        "class_labels": np.ones((1, 1), np.float32),
+    }
+    (mesh,) = get_textured_objects(boxes, ds, ["chair"])
+    assert mesh.texture_path.endswith("wood.png")
+    assert mesh.face_uvs is not None and mesh.face_uvs.shape[1:] == (3, 2)
+    img = render_meshes_topdown([mesh], image_size=64, room_extent=2.0,
+                                colors=np.array([[9, 9, 9]], np.uint8))
+    inside = (img != 255).any(-1)
+    # textured pixels, not the flat override
+    assert inside.any() and not (img[inside] == [9, 9, 9]).all(-1).any()
