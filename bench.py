@@ -192,9 +192,11 @@ def multichip_metric(n_devices: int = 8):
     import jax
 
     devices = jax.devices()
-    on_tpu = devices[0].platform != "cpu" and len(devices) >= n_devices
-    if not on_tpu and (len(devices) < n_devices or devices[0].platform != "cpu"):
-        # not enough real chips: fall back to n virtual CPU devices
+    # real accelerator chips (tpu/axon platform) with enough of them get the
+    # flagship config; otherwise measure the scaling shape on virtual CPUs
+    real_chips = devices[0].platform != "cpu" and len(devices) >= n_devices
+    if len(devices) < n_devices:
+        # not enough devices of any kind: fall back to n virtual CPU devices
         if graft._ensure_virtual_cpu(n_devices):
             devices = jax.devices()
         elif os.environ.get("_BENCH_MULTICHIP_CHILD"):
@@ -215,7 +217,7 @@ def multichip_metric(n_devices: int = 8):
     from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
     from diffuscene_tpu.parallel import ShardedSampler, make_mesh
 
-    if on_tpu:
+    if real_chips:
         # flagship serving config: same as main()
         dim, t_num, per_dev_b, n_runs = 512, 1000, 768, 2
         compute_dtype = jnp.bfloat16

@@ -115,11 +115,18 @@ def main(argv=None):
 
     floor_textures = []
     floor_rng = np.random.default_rng(args.seed)
-    if args.path_to_floor_plan_textures and os.path.isdir(args.path_to_floor_plan_textures):
+    if args.path_to_floor_plan_textures:
+        if not os.path.isdir(args.path_to_floor_plan_textures):
+            raise SystemExit(
+                f"--path_to_floor_plan_textures: no such directory "
+                f"{args.path_to_floor_plan_textures!r}")
         floor_textures = sorted(
             os.path.join(args.path_to_floor_plan_textures, f)
             for f in os.listdir(args.path_to_floor_plan_textures)
             if f.lower().endswith((".png", ".jpg", ".jpeg")))
+        if not floor_textures:
+            print(f"WARNING: no texture images in "
+                  f"{args.path_to_floor_plan_textures!r}; floors render flat")
 
     # batched jitted sampling (vs generate_diffusion.py:294 batch-1 loop)
     @jax.jit

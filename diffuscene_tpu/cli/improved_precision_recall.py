@@ -36,7 +36,7 @@ def main(argv=None):
                         "(improved_precision_recall.py:344-368)")
     args = parser.parse_args(argv)
 
-    from ..eval.ipr import compute_precision_recall, compute_ipr_folders
+    from ..eval.ipr import compute_precision_recall
 
     if args.toy:
         import numpy as np
@@ -65,19 +65,26 @@ def main(argv=None):
         fn = PixelFeatures()
         print("WARNING: pixel features are NOT comparable to the reference's "
               "VGG16-fc2 precision/recall; pass --features vgg with local weights")
-    pr = compute_ipr_folders(args.path_to_real_renderings,
-                             args.path_to_synthesized_renderings,
-                             feature_fn=fn, k=args.k, num_samples=args.num_samples)
+    # Extract features ONCE per folder and subsample ONCE (same rng order as
+    # compute_precision_recall's internal path), so precision/recall and the
+    # optional realism scores are computed over identical manifolds.
+    import numpy as np
+
+    from ..eval.fid import load_image_folder
+    from ..eval.ipr import subsample_features
+
+    rng = np.random.default_rng(0)
+    real_feats = subsample_features(
+        fn(load_image_folder(args.path_to_real_renderings)), args.num_samples, rng)
+    fake_feats = subsample_features(
+        fn(load_image_folder(args.path_to_synthesized_renderings)), args.num_samples, rng)
+    pr = compute_precision_recall(real_feats, fake_feats, k=args.k, num_samples=None)
     payload = {"precision": pr.precision, "recall": pr.recall,
                "features": args.features, "comparable": comparable}
     if args.realism:
-        from ..eval.fid import load_image_folder
         from ..eval.ipr import compute_realism_scores
 
-        scores = compute_realism_scores(
-            fn(load_image_folder(args.path_to_real_renderings)),
-            fn(load_image_folder(args.path_to_synthesized_renderings)),
-            k=args.k)
+        scores = compute_realism_scores(real_feats, fake_feats, k=args.k)
         payload["realism_mean"] = float(scores.mean())
         payload["realism_max"] = float(scores.max())
     print(json.dumps(payload))

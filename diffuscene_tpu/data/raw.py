@@ -42,25 +42,71 @@ def rotation_matrix(axis, theta: float) -> np.ndarray:
     ])
 
 
+def _parse_obj(path: str):
+    """Single OBJ text parser shared by both loaders (one copy of the
+    negative-index + fan-triangulation rules).
+
+    Returns ``(vertices (V,3) f64, faces (F,3) i64, uvs (T,2) f64,
+    face_uv_idx (F,3) i64 with -1 = no vt on that corner,
+    face_mtl (F,) i64 index into mtl_names with -1 = before any usemtl,
+    mtl_names [str] in order of first use, mtllib str|None)``.
+    """
+    vertices: List[List[float]] = []
+    uvs: List[List[float]] = []
+    faces: List[List[int]] = []
+    face_uv_idx: List[List[int]] = []
+    face_mtl: List[int] = []
+    mtl_names: List[str] = []
+    mtl_index: Dict[str, int] = {}
+    mtllib = None
+    cur_mtl = -1
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                p = line.split()
+                vertices.append([float(p[1]), float(p[2]), float(p[3])])
+            elif line.startswith("vt "):
+                p = line.split()
+                uvs.append([float(p[1]), float(p[2]) if len(p) > 2 else 0.0])
+            elif line.startswith("f "):
+                vi, ti = [], []
+                for tok in line.split()[1:]:
+                    sub = tok.split("/")
+                    i = int(sub[0])
+                    vi.append(i - 1 if i > 0 else len(vertices) + i)
+                    if len(sub) > 1 and sub[1]:
+                        j = int(sub[1])
+                        ti.append(j - 1 if j > 0 else len(uvs) + j)
+                    else:
+                        ti.append(-1)
+                for k in range(1, len(vi) - 1):
+                    faces.append([vi[0], vi[k], vi[k + 1]])
+                    face_uv_idx.append([ti[0], ti[k], ti[k + 1]])
+                    face_mtl.append(cur_mtl)
+            elif line.startswith("mtllib ") and mtllib is None:
+                mtllib = line.split(None, 1)[1].strip()
+            elif line.startswith("usemtl "):
+                name = line.split(None, 1)[1].strip()
+                if name not in mtl_index:
+                    mtl_index[name] = len(mtl_names)
+                    mtl_names.append(name)
+                cur_mtl = mtl_index[name]
+    return (np.asarray(vertices, np.float64),
+            np.asarray(faces, np.int64).reshape(-1, 3),
+            np.asarray(uvs, np.float64).reshape(-1, 2),
+            np.asarray(face_uv_idx, np.int64).reshape(-1, 3),
+            np.asarray(face_mtl, np.int64),
+            mtl_names, mtllib)
+
+
 def load_obj_vertices_faces(path: str):
     """Minimal OBJ reader: vertices (V, 3) float64 + triangle faces (F, 3) int.
 
     Replaces trimesh.load for bbox/size computation
     (threed_front_scene.py:270-283).  Polygons are fan-triangulated.
     """
-    vertices: List[List[float]] = []
-    faces: List[List[int]] = []
-    with open(path, "r", errors="ignore") as f:
-        for line in f:
-            if line.startswith("v "):
-                parts = line.split()
-                vertices.append([float(parts[1]), float(parts[2]), float(parts[3])])
-            elif line.startswith("f "):
-                idx = [int(p.split("/")[0]) for p in line.split()[1:]]
-                idx = [i - 1 if i > 0 else len(vertices) + i for i in idx]
-                for k in range(1, len(idx) - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
-    return np.asarray(vertices, np.float64), np.asarray(faces, np.int64)
+    v, faces, _, _, _, _, _ = _parse_obj(path)
+    return v, faces
 
 
 def _parse_mtl_diffuse(mtl_path: str) -> Dict[str, Dict]:
@@ -94,73 +140,74 @@ def _parse_mtl_diffuse(mtl_path: str) -> Dict[str, Dict]:
 
 
 def load_obj_mesh(path: str) -> Dict:
-    """OBJ reader keeping UVs and the MTL diffuse map.
+    """OBJ reader keeping UVs and the MTL diffuse channel.
 
     Returns ``{"vertices": (V, 3) f64, "faces": (F, 3) i64,
     "face_uvs": (F, 3, 2) f64 | None, "texture_path": str | None,
-    "kd": (3,) f32 | None}``.  Polygons are fan-triangulated with UV indices
-    kept aligned.  ``texture_path`` resolves, in order: the active material's
-    ``map_Kd``, any material's ``map_Kd``, or a ``texture.png`` next to the
-    OBJ (the 3D-FUTURE layout the reference reads directly,
-    threed_front_scene.py:241-246).  Replaces trimesh's TexturedMesh loading
-    (scene_synthesis/utils.py:36-38) for the native renderer.
+    "kd": (3,) f32 | None, "face_materials": (F,) i64 | None,
+    "materials": [{"map_kd", "kd"}] | None}``.  Polygons are
+    fan-triangulated with UV indices kept aligned; faces without ``vt``
+    indices get NaN UV rows (renderers fall back to flat color per face,
+    so a few untextured faces don't untexture the whole mesh).
+
+    ``texture_path``/``kd`` describe the PRIMARY material — the used
+    material whose readable ``map_Kd`` covers the most faces, else the
+    first material, else a ``texture.png`` next to the OBJ (the 3D-FUTURE
+    layout the reference reads directly, threed_front_scene.py:241-246).
+    When several ``usemtl`` groups are present, ``face_materials`` +
+    ``materials`` additionally carry the per-face binding so renderers can
+    sample each group's own diffuse map.  Replaces trimesh's TexturedMesh
+    loading (scene_synthesis/utils.py:36-38) for the native renderer.
     """
-    vertices: List[List[float]] = []
-    uvs: List[List[float]] = []
-    faces: List[List[int]] = []
-    face_uv_idx: List[List[int]] = []
-    mtllib = None
-    usemtl = None
-    with open(path, "r", errors="ignore") as f:
-        for line in f:
-            if line.startswith("v "):
-                p = line.split()
-                vertices.append([float(p[1]), float(p[2]), float(p[3])])
-            elif line.startswith("vt "):
-                p = line.split()
-                uvs.append([float(p[1]), float(p[2]) if len(p) > 2 else 0.0])
-            elif line.startswith("f "):
-                vi, ti = [], []
-                for tok in line.split()[1:]:
-                    sub = tok.split("/")
-                    i = int(sub[0])
-                    vi.append(i - 1 if i > 0 else len(vertices) + i)
-                    if len(sub) > 1 and sub[1]:
-                        j = int(sub[1])
-                        ti.append(j - 1 if j > 0 else len(uvs) + j)
-                    else:
-                        ti.append(-1)
-                for k in range(1, len(vi) - 1):
-                    faces.append([vi[0], vi[k], vi[k + 1]])
-                    face_uv_idx.append([ti[0], ti[k], ti[k + 1]])
-            elif line.startswith("mtllib ") and mtllib is None:
-                mtllib = line.split(None, 1)[1].strip()
-            elif line.startswith("usemtl ") and usemtl is None:
-                usemtl = line.split(None, 1)[1].strip()
+    v, fc, uv_arr, uv_idx, face_mtl, mtl_names, mtllib = _parse_obj(path)
 
-    v = np.asarray(vertices, np.float64)
-    fc = np.asarray(faces, np.int64).reshape(-1, 3)
-    uv_idx = np.asarray(face_uv_idx, np.int64).reshape(-1, 3)
     face_uvs = None
-    if len(uvs) and len(fc) and (uv_idx >= 0).all():
-        face_uvs = np.asarray(uvs, np.float64)[uv_idx]  # (F, 3, 2)
+    if len(uv_arr) and len(fc) and (uv_idx >= 0).any():
+        face_uvs = uv_arr[np.clip(uv_idx, 0, len(uv_arr) - 1)]  # (F, 3, 2)
+        bad = (uv_idx < 0).any(axis=1)
+        if bad.any():
+            face_uvs[bad] = np.nan
 
-    texture_path, kd = None, None
     base = os.path.dirname(os.path.abspath(path))
-    if mtllib:
-        mats = _parse_mtl_diffuse(os.path.join(base, mtllib))
-        mat = mats.get(usemtl) if usemtl in mats else None
-        if mat is None and mats:
-            mat = next(iter(mats.values()))
-        if mat:
-            texture_path, kd = mat["map_kd"], mat["kd"]
+    named = _parse_mtl_diffuse(os.path.join(base, mtllib)) if mtllib else {}
+    # materials[i] <-> mtl_names[i]; unreadable map_Kd paths dropped to None
+    materials = []
+    for name in mtl_names:
+        m = dict(named.get(name) or {"map_kd": None, "kd": None})
+        if m["map_kd"] is not None and not os.path.isfile(m["map_kd"]):
+            m["map_kd"] = None
+        materials.append(m)
+
+    # primary material: readable map_Kd covering the most faces, else first
+    texture_path, kd = None, None
+    textured = [i for i, m in enumerate(materials) if m["map_kd"] is not None]
+    if textured:
+        counts = [(face_mtl == i).sum() for i in textured]
+        primary = materials[textured[int(np.argmax(counts))]]
+        texture_path, kd = primary["map_kd"], primary["kd"]
+    elif materials:
+        texture_path, kd = materials[0]["map_kd"], materials[0]["kd"]
     if texture_path is not None and not os.path.isfile(texture_path):
         texture_path = None
+    if texture_path is None and named:
+        # "any material's map_Kd": usemtl names may not match the MTL file
+        for m in named.values():
+            if m["map_kd"] is not None and os.path.isfile(m["map_kd"]):
+                texture_path = texture_path or m["map_kd"]
+                kd = kd if kd is not None else m["kd"]
+                break
+        else:
+            if kd is None:
+                kd = next(iter(named.values()))["kd"]
     if texture_path is None:
         fallback = os.path.join(base, "texture.png")
         texture_path = fallback if os.path.isfile(fallback) else None
+
+    multi = len(materials) > 1
     return {"vertices": v, "faces": fc, "face_uvs": face_uvs,
-            "texture_path": texture_path, "kd": kd}
+            "texture_path": texture_path, "kd": kd,
+            "face_materials": face_mtl if multi else None,
+            "materials": materials if multi else None}
 
 
 @dataclass

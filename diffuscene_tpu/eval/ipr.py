@@ -55,6 +55,16 @@ def _fraction_inside(subjects: np.ndarray, refs: np.ndarray, radii: np.ndarray) 
     return float(inside.mean())
 
 
+def subsample_features(feats: np.ndarray, num_samples: Optional[int],
+                       rng: np.random.Generator) -> np.ndarray:
+    """Uniform without-replacement subsample to at most ``num_samples`` rows
+    (the reference caps both manifolds at --num_samples=5000,
+    improved_precision_recall.py:377-379)."""
+    if num_samples is not None and len(feats) > num_samples:
+        return feats[rng.choice(len(feats), num_samples, replace=False)]
+    return feats
+
+
 def compute_precision_recall(
     real_feats: np.ndarray,
     fake_feats: np.ndarray,
@@ -64,11 +74,8 @@ def compute_precision_recall(
 ) -> PrecisionRecall:
     """IPR over two feature sets (improved_precision_recall.py:256-300)."""
     rng = np.random.default_rng(seed)
-    if num_samples is not None:
-        if len(real_feats) > num_samples:
-            real_feats = real_feats[rng.choice(len(real_feats), num_samples, replace=False)]
-        if len(fake_feats) > num_samples:
-            fake_feats = fake_feats[rng.choice(len(fake_feats), num_samples, replace=False)]
+    real_feats = subsample_features(real_feats, num_samples, rng)
+    fake_feats = subsample_features(fake_feats, num_samples, rng)
     real_radii = knn_radii(real_feats, k)
     fake_radii = knn_radii(fake_feats, k)
     precision = _fraction_inside(fake_feats, real_feats, real_radii)

@@ -13,6 +13,8 @@ plugged in where trimesh/simple_3dviz exist; all CLI entry points take a
 from __future__ import annotations
 
 import colorsys
+import os
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import numpy as np
@@ -99,17 +101,48 @@ def _label_color(label: str, palette: Dict[str, np.ndarray]) -> np.ndarray:
     return palette[label]
 
 
-def _load_texture(path: str, cache: Dict[str, Optional[np.ndarray]]):
-    """(H, W, 3) float32 RGB image, memoized by path; None if unreadable."""
-    if path not in cache:
-        try:
-            from PIL import Image
+def _read_image(path: str) -> Optional[np.ndarray]:
+    try:
+        from PIL import Image
 
-            with Image.open(path) as im:
-                cache[path] = np.asarray(im.convert("RGB"), np.float32)
-        except Exception:
-            cache[path] = None
-    return cache[path]
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"), np.float32)
+    except Exception:
+        return None
+
+
+# decoded textures persist across render calls (a generate run renders
+# hundreds of scenes that reuse the same catalog texture files); LRU-bounded
+# and keyed by (path, mtime) so edited files are picked up
+_TEXTURE_CACHE: "OrderedDict[tuple, Optional[np.ndarray]]" = OrderedDict()
+_TEXTURE_CACHE_MAX = 64
+
+
+def _load_texture(path: str,
+                  cache: Optional[Dict[str, Optional[np.ndarray]]] = None):
+    """(H, W, 3) float32 RGB image, memoized; None if unreadable.
+
+    With ``cache`` (a per-call dict) entries are keyed by path; otherwise a
+    bounded module-level cache keyed by (path, mtime) is used.
+    """
+    if path is None:
+        return None
+    if cache is not None:
+        if path not in cache:
+            cache[path] = _read_image(path)
+        return cache[path]
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        return None
+    if key in _TEXTURE_CACHE:
+        _TEXTURE_CACHE.move_to_end(key)
+        return _TEXTURE_CACHE[key]
+    img = _read_image(path)
+    _TEXTURE_CACHE[key] = img
+    while len(_TEXTURE_CACHE) > _TEXTURE_CACHE_MAX:
+        _TEXTURE_CACHE.popitem(last=False)
+    return img
 
 
 def render_meshes_topdown(
@@ -120,6 +153,7 @@ def render_meshes_topdown(
     palette: Optional[Dict[str, np.ndarray]] = None,  # label -> RGB
     background: tuple = (255, 255, 255),
     use_textures: bool = True,
+    tex_cache: Optional[Dict[str, Optional[np.ndarray]]] = None,
 ) -> np.ndarray:
     """Rasterize retrieved scene meshes top-down orthographically.
 
@@ -131,8 +165,12 @@ def render_meshes_topdown(
     readable ``texture_path`` (and ``use_textures``), the diffuse texture is
     sampled per pixel by barycentric UV interpolation (nearest texel, OBJ
     bottom-left origin, wrap) — the reference's textured-mesh rendering
-    (scene_synthesis/utils.py:10-77, scripts/utils.py:220-239); otherwise a
-    flat per-mesh color is used (colors override > MTL Kd > label palette).
+    (scene_synthesis/utils.py:10-77, scripts/utils.py:220-239).  Faces with
+    NaN UVs, and multi-material faces whose own material has no readable
+    map, fall back to a flat color (colors override > their MTL Kd > label
+    palette); multi-material meshes (``face_materials``/``materials``)
+    sample each ``usemtl`` group's own diffuse map.  Decoded textures are
+    memoized across calls (pass ``tex_cache`` to scope the memo to a call).
     Returns (S, S, 3) uint8.
     """
     img = np.empty((image_size, image_size, 3), np.float32)
@@ -140,19 +178,12 @@ def render_meshes_topdown(
     zbuf = np.full((image_size, image_size), -np.inf, np.float32)
     scale = image_size / (2.0 * room_extent)
     palette = palette if palette is not None else {}
-    tex_cache: Dict[str, Optional[np.ndarray]] = {}
 
     for mi, mesh in enumerate(meshes):
         verts = np.asarray(mesh.vertices, np.float64)
         faces = np.asarray(mesh.faces, np.int64)
         if len(faces) == 0 or len(verts) == 0:
             continue
-        tex = face_uvs = None
-        if (use_textures and getattr(mesh, "texture_path", None)
-                and getattr(mesh, "face_uvs", None) is not None):
-            tex = _load_texture(mesh.texture_path, tex_cache)
-            if tex is not None:
-                face_uvs = np.asarray(mesh.face_uvs, np.float64)
         if colors is not None:
             base = np.asarray(colors[mi], np.float32)
         elif getattr(mesh, "kd", None) is not None:
@@ -160,6 +191,26 @@ def render_meshes_topdown(
         else:
             base = _label_color(getattr(mesh, "label", "object"), palette
                                 ).astype(np.float32)
+        # material slots: slot 0 = mesh-level primary; per-usemtl slots
+        # follow, indexed by face_materials + 1
+        face_uvs = (np.asarray(mesh.face_uvs, np.float64)
+                    if getattr(mesh, "face_uvs", None) is not None else None)
+        slot_tex = [_load_texture(getattr(mesh, "texture_path", None),
+                                  tex_cache) if use_textures else None]
+        slot_base = [base]
+        face_slot = None
+        mats = getattr(mesh, "materials", None)
+        face_mats = getattr(mesh, "face_materials", None)
+        if mats is not None and face_mats is not None:
+            for m in mats:
+                slot_tex.append(_load_texture(m.get("map_kd"), tex_cache)
+                                if use_textures else None)
+                slot_base.append(np.asarray(m["kd"], np.float32) * 255.0
+                                 if m.get("kd") is not None and colors is None
+                                 else base)
+            face_slot = np.asarray(face_mats, np.int64) + 1
+        if face_uvs is None or not any(t is not None for t in slot_tex):
+            face_uvs = None  # nothing to sample
         # pixel coords: consistent with render_topdown's pixel-center mapping
         u = (verts[:, 0] + room_extent) * scale - 0.5
         v = (verts[:, 2] + room_extent) * scale - 0.5
@@ -203,10 +254,13 @@ def render_meshes_topdown(
             if not win.any():
                 continue
             sub[win] = py[win]
-            if face_uvs is not None:
+            si = int(face_slot[fi]) if face_slot is not None else 0
+            si = si if 0 <= si < len(slot_tex) else 0
+            tex = slot_tex[si]
+            fuv = face_uvs[fi] if face_uvs is not None else None
+            if tex is not None and fuv is not None and np.isfinite(fuv).all():
                 # barycentric UV interpolation at the winning pixels, then
                 # nearest-texel lookup (vt origin is bottom-left; wrap)
-                fuv = face_uvs[fi]  # (3, 2)
                 tu = (w0 * fuv[0, 0] + w1 * fuv[1, 0] + w2 * fuv[2, 0])[win]
                 tv = (w0 * fuv[0, 1] + w1 * fuv[1, 1] + w2 * fuv[2, 1])[win]
                 tu = tu - np.floor(tu)
@@ -216,7 +270,7 @@ def render_meshes_topdown(
                 pyi = np.minimum(((1.0 - tv) * th).astype(np.int64), th - 1)
                 color = tex[pyi, px]
             else:
-                color = base
+                color = slot_base[si]
             img[lo_v[fi]:hi_v[fi] + 1, lo_u[fi]:hi_u[fi] + 1][win] = (
                 color * shade[fi])
     return np.clip(img, 0, 255).astype(np.uint8)

@@ -21,9 +21,12 @@ class SceneMesh:
     """A retrieved, world-transformed furniture mesh.
 
     ``face_uvs`` is (F, 3, 2) per-corner texture coordinates (OBJ ``vt``
-    convention: origin bottom-left, wrap allowed); ``texture_path`` the
-    diffuse image; ``kd`` a flat diffuse color fallback — together the
-    diffuse channel of the reference's TexturedMesh
+    convention: origin bottom-left, wrap allowed; NaN rows = face has no
+    UVs); ``texture_path`` the primary diffuse image; ``kd`` a flat diffuse
+    color fallback; multi-material OBJs additionally carry
+    ``face_materials`` (F,) indices into ``materials``
+    ([{"map_kd", "kd"}]) so each ``usemtl`` group samples its own map —
+    together the diffuse channel of the reference's TexturedMesh
     (scene_synthesis/utils.py:36-38)."""
 
     vertices: np.ndarray
@@ -33,6 +36,8 @@ class SceneMesh:
     texture_path: Optional[str] = None
     face_uvs: Optional[np.ndarray] = None
     kd: Optional[np.ndarray] = None
+    face_materials: Optional[np.ndarray] = None
+    materials: Optional[list] = None
 
     @property
     def bounding_box(self) -> np.ndarray:
@@ -64,7 +69,7 @@ def _squeeze(boxes: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def _load_mesh(obj):
-    """(vertices, faces, face_uvs, texture_path, kd) for a catalog object.
+    """Mesh dict (load_obj_mesh schema) for a catalog object.
 
     Prefers the UV+MTL-aware loader on the raw OBJ path (so renders can
     texture-sample, like the reference's TexturedMesh.from_file,
@@ -75,14 +80,14 @@ def _load_mesh(obj):
     if path and os.path.isfile(path):
         from ..data.raw import load_obj_mesh
 
-        m = load_obj_mesh(path)
-        return (m["vertices"], m["faces"], m["face_uvs"],
-                m["texture_path"], m["kd"])
+        return load_obj_mesh(path)
     v, f = obj.raw_model()
     tex = getattr(obj, "texture_image_path", None)
     if tex is not None and not os.path.isfile(tex):
         tex = None
-    return v, f, None, tex, None
+    return {"vertices": v, "faces": f, "face_uvs": None,
+            "texture_path": tex, "kd": None,
+            "face_materials": None, "materials": None}
 
 
 def get_textured_objects(boxes: Dict[str, np.ndarray], objects_dataset,
@@ -99,12 +104,15 @@ def get_textured_objects(boxes: Dict[str, np.ndarray], objects_dataset,
     for i in range(len(b["class_labels"])):
         label = class_labels[int(b["class_labels"][i].argmax())]
         obj = objects_dataset.get_closest_furniture_to_box(label, b["sizes"][i])
-        v, f, uvs, tex, kd = _load_mesh(obj)
-        v = v * getattr(obj, "scale", 1.0)
+        m = _load_mesh(obj)
+        v = m["vertices"] * getattr(obj, "scale", 1.0)
         out.append(SceneMesh(
             vertices=_transform_vertices(v, theta[i], b["translations"][i]),
-            faces=f, label=label, model_jid=getattr(obj, "model_jid", None),
-            texture_path=tex, face_uvs=uvs, kd=kd,
+            faces=m["faces"], label=label,
+            model_jid=getattr(obj, "model_jid", None),
+            texture_path=m["texture_path"], face_uvs=m["face_uvs"],
+            kd=m["kd"], face_materials=m["face_materials"],
+            materials=m["materials"],
         ))
     return out
 
@@ -128,12 +136,16 @@ def get_textured_objects_based_on_objfeats(
                 label, feats[i], b["sizes"][i])
         else:
             obj = objects_dataset.get_closest_furniture_to_objfeats(label, feats[i])
-        v, f, uvs, tex, kd = _load_mesh(obj)
+        m = _load_mesh(obj)
         out.append(SceneMesh(
-            vertices=_transform_vertices(v, theta[i], b["translations"][i],
+            vertices=_transform_vertices(m["vertices"], theta[i],
+                                         b["translations"][i],
                                          target_size=b["sizes"][i]),
-            faces=f, label=label, model_jid=getattr(obj, "model_jid", None),
-            texture_path=tex, face_uvs=uvs, kd=kd,
+            faces=m["faces"], label=label,
+            model_jid=getattr(obj, "model_jid", None),
+            texture_path=m["texture_path"], face_uvs=m["face_uvs"],
+            kd=m["kd"], face_materials=m["face_materials"],
+            materials=m["materials"],
         ))
     return out
 

@@ -35,4 +35,6 @@ def test_bench_multichip_virtual_mesh():
     line = bench.multichip_metric(8)
     assert line["n_devices"] == 8
     assert line["value"] > 0
-    assert abs(line["per_device_scenes_per_sec"] - line["value"] / 8) < 1e-6
+    # both fields are independently rounded to 3 decimals in the JSON line,
+    # so allow the worst-case combined rounding slop
+    assert abs(line["per_device_scenes_per_sec"] - line["value"] / 8) < 1e-3

@@ -217,3 +217,97 @@ def test_retrieval_carries_texture_through(tmp_path):
     inside = (img != 255).any(-1)
     # textured pixels, not the flat override
     assert inside.any() and not (img[inside] == [9, 9, 9]).all(-1).any()
+
+def test_partial_uv_mesh_keeps_textured_faces(tmp_path):
+    """A face without vt indices must NOT untexture the whole mesh: textured
+    faces sample texels, the UV-less face falls back to flat color."""
+    tex = _write_texture(tmp_path / "wood.png", QUAD_TEX)
+    (tmp_path / "model.mtl").write_text(
+        "newmtl wood\nKd 0.5 0.0 1.0\nmap_Kd wood.png\n")
+    # left triangle textured (all-yellow corner), right triangle has no vt
+    (tmp_path / "model.obj").write_text("\n".join([
+        "mtllib model.mtl",
+        "v -1 1 -1", "v 1 1 -1", "v 1 1 1", "v -1 1 1",
+        "vt 0.9 0.1", "vt 0.9 0.1", "vt 0.9 0.1",
+        "usemtl wood",
+        "f 1/1 2/2 3/3",
+        "f 1 3 4",
+    ]) + "\n")
+    m = load_obj_mesh(str(tmp_path / "model.obj"))
+    assert m["face_uvs"].shape == (2, 3, 2)
+    assert np.isfinite(m["face_uvs"][0]).all()
+    assert np.isnan(m["face_uvs"][1]).all()
+    assert m["texture_path"].endswith("wood.png")
+
+    mesh = SceneMesh(vertices=m["vertices"], faces=m["faces"], label="x",
+                     texture_path=m["texture_path"], face_uvs=m["face_uvs"],
+                     kd=m["kd"])
+    S, E = 64, 2.0
+    img = render_meshes_topdown([mesh], image_size=S, room_extent=E)
+    scale = S / (2 * E)
+
+    def px(x, z):
+        return int((z + E) * scale), int((x + E) * scale)
+
+    # face 0 covers z < x (upper-left in v/u); its constant UV (0.9, 0.1)
+    # hits the yellow texel.  face 1 covers z > x and is flat Kd purple.
+    np.testing.assert_array_equal(img[px(0.5, -0.5)], [255, 255, 0])
+    np.testing.assert_array_equal(img[px(-0.5, 0.5)], [127, 0, 255])
+
+
+def test_multi_material_mesh_samples_per_group(tmp_path):
+    """Each usemtl group samples its own map_Kd
+    (reference TexturedMesh.from_file handles per-material textures)."""
+    red = np.zeros((2, 2, 3), np.uint8); red[..., 0] = 200
+    blue = np.zeros((2, 2, 3), np.uint8); blue[..., 2] = 200
+    _write_texture(tmp_path / "red.png", red)
+    _write_texture(tmp_path / "blue.png", blue)
+    (tmp_path / "model.mtl").write_text(
+        "newmtl a\nmap_Kd red.png\nnewmtl b\nmap_Kd blue.png\n")
+    (tmp_path / "model.obj").write_text("\n".join([
+        "mtllib model.mtl",
+        "v -1 1 -1", "v 1 1 -1", "v 1 1 1", "v -1 1 1",
+        "vt 0.5 0.5",
+        "usemtl a",
+        "f 1/1 2/1 3/1",
+        "usemtl b",
+        "f 1/1 3/1 4/1",
+    ]) + "\n")
+    m = load_obj_mesh(str(tmp_path / "model.obj"))
+    np.testing.assert_array_equal(m["face_materials"], [0, 1])
+    assert [os.path.basename(x["map_kd"]) for x in m["materials"]] == \
+        ["red.png", "blue.png"]
+
+    mesh = SceneMesh(vertices=m["vertices"], faces=m["faces"], label="x",
+                     texture_path=m["texture_path"], face_uvs=m["face_uvs"],
+                     kd=m["kd"], face_materials=m["face_materials"],
+                     materials=m["materials"])
+    S, E = 64, 2.0
+    img = render_meshes_topdown([mesh], image_size=S, room_extent=E)
+    scale = S / (2 * E)
+
+    def px(x, z):
+        return int((z + E) * scale), int((x + E) * scale)
+
+    np.testing.assert_array_equal(img[px(0.5, -0.5)], [200, 0, 0])
+    np.testing.assert_array_equal(img[px(-0.5, 0.5)], [0, 0, 200])
+
+
+def test_texture_cache_persists_across_renders(tmp_path, monkeypatch):
+    """Decoded textures are memoized across render calls (a generate run
+    renders hundreds of scenes sharing catalog textures)."""
+    import diffuscene_tpu.eval.render as render_mod
+
+    tex = _write_texture(tmp_path / "t.png", QUAD_TEX)
+    mesh = _textured_quad(tex)
+    calls = []
+    real_read = render_mod._read_image
+    monkeypatch.setattr(render_mod, "_read_image",
+                        lambda p: calls.append(p) or real_read(p))
+    render_meshes_topdown([mesh], image_size=16, room_extent=2.0)
+    render_meshes_topdown([mesh], image_size=16, room_extent=2.0)
+    assert len(calls) == 1
+    # a per-call cache dict scopes the memo to that call
+    render_meshes_topdown([mesh], image_size=16, room_extent=2.0,
+                          tex_cache={})
+    assert len(calls) == 2
