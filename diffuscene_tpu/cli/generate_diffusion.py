@@ -216,6 +216,26 @@ def main(argv=None):
                 _export_retrieved(boxes, objects_dataset, raw.class_labels,
                                   args.retrive_objfeats,
                                   os.path.join(args.output_directory, f"{idx:05d}"))
+                # real mesh files like the reference's --save_mesh
+                # (generate_diffusion.py:431-444 merged scene OBJ under
+                # scene_mesh/, plus per-object textured OBJ/MTL/texture
+                # triples via export_scene, scripts/utils.py:257-291)
+                from ..eval.retrieval import (
+                    export_scene, get_textured_objects,
+                    get_textured_objects_based_on_objfeats, merge_meshes,
+                    write_obj)
+
+                if args.retrive_objfeats:
+                    out_meshes = get_textured_objects_based_on_objfeats(
+                        boxes, objects_dataset, raw.class_labels)
+                else:
+                    out_meshes = get_textured_objects(
+                        boxes, objects_dataset, raw.class_labels)
+                scene_dir = os.path.join(args.output_directory, "scene_mesh")
+                os.makedirs(scene_dir, exist_ok=True)
+                write_obj(merge_meshes(out_meshes),
+                          os.path.join(scene_dir, f"{idx:05d}.obj"))
+                export_scene(os.path.join(scene_dir, f"{idx:05d}"), out_meshes)
         n_done += take
         print(f"sampled {n_done}/{args.n_sequences}")
     if trace_window is not None:

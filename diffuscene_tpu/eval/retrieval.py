@@ -192,18 +192,98 @@ def merge_meshes(meshes: Sequence[SceneMesh]) -> SceneMesh:
     return SceneMesh(vertices=np.vstack(vs), faces=np.vstack(fs), label="scene")
 
 
-def write_obj(mesh: SceneMesh, path: str):
+def _mesh_material_slots(mesh: SceneMesh):
+    """(slots, face_slot) mirroring the renderer's binding: slot 0 is the
+    mesh-level primary material, per-``usemtl`` slots follow, and
+    ``face_slot[fi]`` indexes into ``slots`` (None = single-material mesh,
+    every face uses slot 0)."""
+    slots = [{"map_kd": mesh.texture_path,
+              "kd": None if mesh.kd is None else np.asarray(mesh.kd)}]
+    face_slot = None
+    if mesh.materials is not None and mesh.face_materials is not None:
+        for m in mesh.materials:
+            slots.append({"map_kd": m.get("map_kd"),
+                          "kd": None if m.get("kd") is None
+                          else np.asarray(m["kd"])})
+        face_slot = np.asarray(mesh.face_materials, np.int64) + 1
+    return slots, face_slot
+
+
+def write_obj(mesh: SceneMesh, path: str, write_materials: bool = True) -> List[str]:
+    """Textured OBJ (+MTL + copied texture images) export.
+
+    The reference exports per-object OBJ/MTL/texture triples through
+    trimesh (scripts/utils.py:257-291); here the mesh's diffuse channel
+    (UVs, per-``usemtl`` bindings, Kd fallbacks) is written directly so
+    ``load_obj_mesh`` round-trips it.  Faces with NaN UVs are written
+    without ``vt`` indices.  Returns every file path written.
+    """
+    stem = os.path.splitext(os.path.basename(path))[0]
+    base = os.path.dirname(os.path.abspath(path))
+    slots, face_slot = _mesh_material_slots(mesh)
+    has_mat = write_materials and any(
+        s["map_kd"] or s["kd"] is not None for s in slots)
+    written = [path]
+
+    # slot 0 (the mesh-level primary) is only bound by faces when there is
+    # no per-face table, or for faces that predate any usemtl (-1 -> slot 0)
+    slot_used = [face_slot is None or bool((face_slot == si).any())
+                 if si == 0 else True for si in range(len(slots))]
+    mtl_of_slot = {}
+    if has_mat:
+        import shutil
+
+        mtl_path = os.path.join(base, stem + ".mtl")
+        written.append(mtl_path)
+        with open(mtl_path, "w") as f:
+            for si, s in enumerate(slots):
+                if not slot_used[si] or (not s["map_kd"] and s["kd"] is None):
+                    continue
+                name = f"{stem}_mat{si}"
+                mtl_of_slot[si] = name
+                kd = s["kd"] if s["kd"] is not None else np.ones(3)
+                f.write(f"newmtl {name}\n")
+                f.write(f"Kd {kd[0]:.6f} {kd[1]:.6f} {kd[2]:.6f}\n")
+                if s["map_kd"] and os.path.isfile(s["map_kd"]):
+                    ext = os.path.splitext(s["map_kd"])[1] or ".png"
+                    tex_name = f"{name}{ext}"
+                    tex_out = os.path.join(base, tex_name)
+                    if os.path.abspath(s["map_kd"]) != os.path.abspath(tex_out):
+                        shutil.copyfile(s["map_kd"], tex_out)
+                    written.append(tex_out)
+                    f.write(f"map_Kd {tex_name}\n")
+
+    uvs = mesh.face_uvs
     with open(path, "w") as f:
         f.write(f"# diffuscene_tpu export: {mesh.label}\n")
+        if mtl_of_slot:
+            f.write(f"mtllib {stem}.mtl\n")
         for v in mesh.vertices:
             f.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
-        for face in mesh.faces:
-            f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
+        n_vt = 0
+        cur = None
+        for fi, face in enumerate(np.asarray(mesh.faces, np.int64)):
+            si = int(face_slot[fi]) if face_slot is not None else 0
+            si = si if si in mtl_of_slot else 0
+            if mtl_of_slot and si != cur and si in mtl_of_slot:
+                f.write(f"usemtl {mtl_of_slot[si]}\n")
+                cur = si
+            fuv = uvs[fi] if uvs is not None else None
+            if fuv is not None and np.isfinite(fuv).all():
+                for k in range(3):
+                    f.write(f"vt {fuv[k, 0]:.6f} {fuv[k, 1]:.6f}\n")
+                f.write(f"f {face[0] + 1}/{n_vt + 1} "
+                        f"{face[1] + 1}/{n_vt + 2} "
+                        f"{face[2] + 1}/{n_vt + 3}\n")
+                n_vt += 3
+            else:
+                f.write(f"f {face[0] + 1} {face[1] + 1} {face[2] + 1}\n")
+    return written
 
 
 def export_scene(output_directory: str, meshes: Sequence[SceneMesh],
                  names: Optional[Sequence[str]] = None) -> List[str]:
-    """One OBJ per object (scripts/utils.py:257-291)."""
+    """One textured OBJ (+MTL/texture) per object (scripts/utils.py:257-291)."""
     os.makedirs(output_directory, exist_ok=True)
     paths = []
     for i, m in enumerate(meshes):

@@ -206,12 +206,27 @@ def test_generate_cli_textured_renders(synth_config):
 
     gen_dir = os.path.join(root, "generated_textured")
     main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "1",
-          "--batch_size", "8", "--render",
+          "--batch_size", "8", "--render", "--save_mesh",
           "--path_to_pickled_3d_futute_models", pkl,
           "--path_to_floor_plan_textures", floor_dir])
     img = np.asarray(Image.open(os.path.join(gen_dir, "00000.png")))
     # horizontal top faces have shade 1.0 -> exact magenta texels
     assert (img == [255, 0, 255]).all(-1).any()
+
+    # --save_mesh writes the merged scene OBJ plus per-object textured
+    # OBJ/MTL/texture triples (reference generate_diffusion.py:431-444 +
+    # scripts/utils.py:257-291)
+    from diffuscene_tpu.data.raw import load_obj_mesh
+
+    scene_dir = os.path.join(gen_dir, "scene_mesh")
+    assert os.path.isfile(os.path.join(scene_dir, "00000.obj"))
+    obj_dir = os.path.join(scene_dir, "00000")
+    objs = sorted(f for f in os.listdir(obj_dir) if f.endswith(".obj"))
+    assert objs and objs[0] == "object_000.obj"
+    back = load_obj_mesh(os.path.join(obj_dir, objs[0]))
+    assert back["texture_path"] is not None  # texture copied + referenced
+    assert os.path.isfile(back["texture_path"])
+    assert os.path.isfile(os.path.join(gen_dir, "00000_scene.json"))
 
     flat_dir = os.path.join(root, "generated_flat")
     main([cfg_path, flat_dir, "--weight_file", exp, "--n_sequences", "1",

@@ -311,3 +311,76 @@ def test_texture_cache_persists_across_renders(tmp_path, monkeypatch):
     render_meshes_topdown([mesh], image_size=16, room_extent=2.0,
                           tex_cache={})
     assert len(calls) == 2
+
+
+def test_write_obj_roundtrips_textured_multimaterial(tmp_path):
+    """write_obj -> load_obj_mesh round-trips the diffuse channel: same
+    per-material texture sampling, same flat fallback for UV-less faces
+    (the reference exports per-object OBJ/MTL/texture triples through
+    trimesh, scripts/utils.py:257-291)."""
+    from diffuscene_tpu.eval.retrieval import write_obj
+
+    red = np.zeros((2, 2, 3), np.uint8); red[..., 0] = 200
+    blue = np.zeros((2, 2, 3), np.uint8); blue[..., 2] = 200
+    _write_texture(tmp_path / "red.png", red)
+    _write_texture(tmp_path / "blue.png", blue)
+    (tmp_path / "model.mtl").write_text(
+        "newmtl a\nKd 0.9 0.1 0.1\nmap_Kd red.png\n"
+        "newmtl b\nKd 0.1 0.1 0.9\nmap_Kd blue.png\n")
+    (tmp_path / "model.obj").write_text("\n".join([
+        "mtllib model.mtl",
+        "v -1 1 -1", "v 1 1 -1", "v 1 1 1", "v -1 1 1", "v 0 1 -2",
+        "vt 0.5 0.5",
+        "usemtl a",
+        "f 1/1 2/1 3/1",
+        "usemtl b",
+        "f 1/1 3/1 4/1",
+        "f 1 2 5",          # UV-less face: flat Kd fallback
+    ]) + "\n")
+    src = load_obj_mesh(str(tmp_path / "model.obj"))
+    mesh = SceneMesh(vertices=src["vertices"], faces=src["faces"], label="x",
+                     texture_path=src["texture_path"], face_uvs=src["face_uvs"],
+                     kd=src["kd"], face_materials=src["face_materials"],
+                     materials=src["materials"])
+
+    out = tmp_path / "export"
+    out.mkdir()
+    written = write_obj(mesh, str(out / "scene.obj"))
+    names = sorted(os.path.basename(p) for p in written)
+    assert "scene.obj" in names and "scene.mtl" in names
+    assert sum(n.endswith(".png") for n in names) == 2
+    for p in written:
+        assert os.path.isfile(p)
+
+    back = load_obj_mesh(str(out / "scene.obj"))
+    mesh2 = SceneMesh(vertices=back["vertices"], faces=back["faces"],
+                      label="x", texture_path=back["texture_path"],
+                      face_uvs=back["face_uvs"], kd=back["kd"],
+                      face_materials=back["face_materials"],
+                      materials=back["materials"])
+    img1 = render_meshes_topdown([mesh], image_size=64, room_extent=3.0)
+    img2 = render_meshes_topdown([mesh2], image_size=64, room_extent=3.0)
+    np.testing.assert_array_equal(img1, img2)
+    # the textured groups really sample their own maps after the round trip
+    assert (img2 == [200, 0, 0]).all(-1).any()
+    assert (img2 == [0, 0, 200]).all(-1).any()
+
+
+def test_export_scene_writes_per_object_files(tmp_path):
+    """export_scene writes one OBJ (+MTL/texture when textured) per mesh."""
+    from diffuscene_tpu.eval.retrieval import export_scene
+
+    tex = _write_texture(tmp_path / "t.png", QUAD_TEX)
+    meshes = [_textured_quad(tex),
+              SceneMesh(vertices=np.array([[0., 0, 0], [1, 0, 0], [0, 0, 1]]),
+                        faces=np.array([[0, 1, 2]]), label="plain")]
+    out = tmp_path / "objs"
+    paths = export_scene(str(out), meshes)
+    assert [os.path.basename(p) for p in paths] == \
+        ["object_000.obj", "object_001.obj"]
+    assert os.path.isfile(out / "object_000.mtl")
+    assert os.path.isfile(out / "object_000_mat0.png")
+    assert not os.path.isfile(out / "object_001.mtl")
+    back = load_obj_mesh(str(out / "object_000.obj"))
+    assert back["texture_path"].endswith("object_000_mat0.png")
+    assert np.isfinite(back["face_uvs"]).all()
