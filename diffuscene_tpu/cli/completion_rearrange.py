@@ -37,11 +37,17 @@ def main(argv=None):
     parser.add_argument("--fused", action="store_true",
                         help="use the fused serving engine (models/inference.py)")
     parser.add_argument("--render", action="store_true")
+    from ._scene_output import add_scene_output_args
+
+    # the reference's completion/rearrange script shares generate's mesh
+    # retrieval + textured rendering + --save_mesh export funnel
+    # (completion_rearrange.py:138-160 -> scripts/utils.py:460-560)
+    add_scene_output_args(parser)
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded
     from ..eval.postprocess import split_network_samples
-    from ..eval.render import render_scene_dict, save_image
+    from ..eval.render import save_image
     from ..models.scene_model import SceneDiffusion, SceneModelConfig
     from ..utils import load_config, load_checkpoint
 
@@ -82,6 +88,9 @@ def main(argv=None):
             assert epoch is not None
             params = ema_or_params(state) if not args.no_ema else state.params
 
+    from ._scene_output import SceneOutput
+
+    scene_out = SceneOutput(args, raw, seed=args.seed)
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
@@ -129,8 +138,12 @@ def main(argv=None):
             with open(os.path.join(args.output_directory, f"{idx:05d}_boxes.json"), "w") as f:
                 json.dump({k: np.asarray(v).tolist() for k, v in boxes.items()}, f)
             if args.render:
-                save_image(render_scene_dict(boxes),
+                # mesh-accurate textured render when a catalog is loaded,
+                # oriented boxes otherwise (see _scene_output.SceneOutput)
+                save_image(scene_out.render(boxes, idx),
                            os.path.join(args.output_directory, f"{idx:05d}.png"))
+            if args.save_mesh:
+                scene_out.export(boxes, idx, args.output_directory)
         n_done += take
         print(f"{'arranged' if args.arrange_objects else 'completed'} {n_done}/{args.n_sequences}")
 

@@ -35,21 +35,11 @@ def main(argv=None):
     parser.add_argument("--dpm_steps", type=int, default=20)
     parser.add_argument("--fused", action="store_true",
                         help="use the fused serving engine (models/inference.py)")
-    parser.add_argument("--retrive_objfeats", action="store_true",
-                        help="retrieve meshes by latent shape codes")
-    parser.add_argument("--path_to_pickled_3d_futute_models", default=None)
     parser.add_argument("--compute_intersec", action="store_true")
     parser.add_argument("--render", action="store_true", help="save top-down renders")
-    parser.add_argument("--no_texture", action="store_true",
-                        help="render flat class colors instead of sampling the "
-                        "catalog diffuse textures (reference --no_texture)")
-    parser.add_argument("--path_to_floor_plan_textures", default=None,
-                        help="directory of floor texture images; when given, "
-                        "renders include a textured floor plan picked from the "
-                        "eval split (reference generate_diffusion.py:66-68,305-309)")
-    parser.add_argument("--without_floor", action="store_true",
-                        help="skip the floor plan in renders (reference :142-144)")
-    parser.add_argument("--save_mesh", action="store_true")
+    from ._scene_output import add_scene_output_args
+
+    add_scene_output_args(parser)
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of the sampling "
                         "batches to this directory (XProf/TensorBoard); the "
@@ -57,12 +47,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded
-    from ..data.threed_future import ThreedFutureDataset
     from ..eval.metrics import (
         categorical_kl, compute_intersection, compute_symmetry, scene_bboxes_from_params,
     )
     from ..eval.postprocess import split_network_samples
-    from ..eval.render import render_scene_dict, save_image
+    from ..eval.render import save_image
     from ..models.scene_model import SceneDiffusion, SceneModelConfig
     from ..utils import load_config, load_checkpoint
 
@@ -107,26 +96,10 @@ def main(argv=None):
             print(f"loaded checkpoint epoch {epoch}"
                   + (" (EMA weights)" if state.ema_params is not None and not args.no_ema else ""))
 
-    objects_dataset = None
-    if args.path_to_pickled_3d_futute_models:
-        objects_dataset = ThreedFutureDataset.from_pickled_dataset(
-            args.path_to_pickled_3d_futute_models
-        )
+    from ._scene_output import SceneOutput
 
-    floor_textures = []
-    floor_rng = np.random.default_rng(args.seed)
-    if args.path_to_floor_plan_textures:
-        if not os.path.isdir(args.path_to_floor_plan_textures):
-            raise SystemExit(
-                f"--path_to_floor_plan_textures: no such directory "
-                f"{args.path_to_floor_plan_textures!r}")
-        floor_textures = sorted(
-            os.path.join(args.path_to_floor_plan_textures, f)
-            for f in os.listdir(args.path_to_floor_plan_textures)
-            if f.lower().endswith((".png", ".jpg", ".jpeg")))
-        if not floor_textures:
-            print(f"WARNING: no texture images in "
-                  f"{args.path_to_floor_plan_textures!r}; floors render flat")
+    scene_out = SceneOutput(args, raw, seed=args.seed)
+    objects_dataset = scene_out.objects_dataset
 
     # batched jitted sampling (vs generate_diffusion.py:294 batch-1 loop)
     @jax.jit
@@ -172,70 +145,17 @@ def main(argv=None):
             all_boxes.append(boxes)
             idx = n_done + i
             if args.render:
-                if objects_dataset is not None:
-                    # mesh-accurate top-down render of the retrieved catalog
-                    # meshes (generate_diffusion.py:251-264 path).  Textured
-                    # meshes sample their diffuse map; the class palette is
-                    # the flat fallback (and the whole look with --no_texture)
-                    from ..eval.render import class_colors, render_meshes_topdown
-                    from ..eval.retrieval import (
-                        floor_plan_from_scene, get_textured_objects,
-                        get_textured_objects_based_on_objfeats)
-
-                    if args.retrive_objfeats:
-                        meshes = get_textured_objects_based_on_objfeats(
-                            boxes, objects_dataset, raw.class_labels)
-                    else:
-                        meshes = get_textured_objects(
-                            boxes, objects_dataset, raw.class_labels)
-                    pal = class_colors(len(raw.class_labels))
-                    cls = np.asarray(boxes["class_labels"])
-                    cls = cls[0] if cls.ndim == 3 else cls
-                    colors = pal[cls.argmax(-1)]
-                    if not args.without_floor and hasattr(raw, "get_floor_plan") \
-                            and len(raw) > 0:
-                        # a floor plan from the eval split, textured when a
-                        # texture dir is given (generate_diffusion.py:305-309)
-                        floor = floor_plan_from_scene(
-                            raw.get_floor_plan(idx % len(raw)), floor_textures,
-                            rng=floor_rng)
-                        meshes = [floor] + meshes
-                        colors = np.concatenate(
-                            [np.array([[230, 230, 230]], np.uint8), colors])
-                    img = render_meshes_topdown(
-                        meshes, colors=colors, use_textures=not args.no_texture)
-                else:
-                    img = render_scene_dict(boxes, floor_mask=None)
-                save_image(img, os.path.join(args.output_directory, f"{idx:05d}.png"))
+                # mesh-accurate textured render when a catalog is loaded,
+                # oriented boxes otherwise (see _scene_output.SceneOutput)
+                save_image(scene_out.render(boxes, idx),
+                           os.path.join(args.output_directory, f"{idx:05d}.png"))
             if descriptions:
                 # text dump next to the render (generate_diffusion.py writes
                 # the conditioning sentence per scene)
                 with open(os.path.join(args.output_directory, f"{idx:05d}.txt"), "w") as f:
                     f.write(descriptions[i])
-            if objects_dataset is not None and args.save_mesh:
-                _export_retrieved(boxes, objects_dataset, raw.class_labels,
-                                  args.retrive_objfeats,
-                                  os.path.join(args.output_directory, f"{idx:05d}"))
-                # real mesh files like the reference's --save_mesh
-                # (generate_diffusion.py:431-444 merged scene OBJ under
-                # scene_mesh/, plus per-object textured OBJ/MTL/texture
-                # triples via export_scene, scripts/utils.py:257-291)
-                from ..eval.retrieval import (
-                    export_scene, get_textured_objects,
-                    get_textured_objects_based_on_objfeats, merge_meshes,
-                    write_obj)
-
-                if args.retrive_objfeats:
-                    out_meshes = get_textured_objects_based_on_objfeats(
-                        boxes, objects_dataset, raw.class_labels)
-                else:
-                    out_meshes = get_textured_objects(
-                        boxes, objects_dataset, raw.class_labels)
-                scene_dir = os.path.join(args.output_directory, "scene_mesh")
-                os.makedirs(scene_dir, exist_ok=True)
-                write_obj(merge_meshes(out_meshes),
-                          os.path.join(scene_dir, f"{idx:05d}.obj"))
-                export_scene(os.path.join(scene_dir, f"{idx:05d}"), out_meshes)
+            if args.save_mesh:
+                scene_out.export(boxes, idx, args.output_directory)
         n_done += take
         print(f"sampled {n_done}/{args.n_sequences}")
     if trace_window is not None:
@@ -272,30 +192,6 @@ def main(argv=None):
     with open(os.path.join(args.output_directory, "metrics.json"), "w") as f:
         json.dump(stats, f, indent=2)
     print(json.dumps(stats))
-
-
-def _export_retrieved(boxes, objects_dataset, class_labels, use_objfeats, out_prefix):
-    """Mesh retrieval per object (scene_synthesis/utils.py:10-165); exports a
-    JSON manifest of retrieved jids + transforms (OBJ export needs trimesh)."""
-    sq = lambda a: np.asarray(a)[0] if np.asarray(a).ndim == 3 else np.asarray(a)
-    cls = sq(boxes["class_labels"])
-    manifest = []
-    for i in range(len(cls)):
-        label = class_labels[int(cls[i].argmax())]
-        if use_objfeats and "objfeats" in boxes:
-            obj = objects_dataset.get_closest_furniture_to_objfeats_and_size(
-                label, sq(boxes["objfeats"])[i], sq(boxes["sizes"])[i])
-        else:
-            obj = objects_dataset.get_closest_furniture_to_box(label, sq(boxes["sizes"])[i])
-        manifest.append({
-            "label": label,
-            "model_jid": getattr(obj, "model_jid", None),
-            "translation": sq(boxes["translations"])[i].tolist(),
-            "size": sq(boxes["sizes"])[i].tolist(),
-            "angle": sq(boxes["angles"])[i].tolist(),
-        })
-    with open(out_prefix + "_scene.json", "w") as f:
-        json.dump(manifest, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -246,6 +246,33 @@ def test_completion_cli(synth_config):
     assert len([f for f in os.listdir(comp_dir) if f.endswith("_boxes.json")]) == 2
 
 
+def test_completion_cli_textured_mesh_output(synth_config):
+    """Completion shares generate's retrieval/render/export funnel
+    (reference completion_rearrange.py:138-160 -> utils.py:460-560):
+    --render samples catalog textures, --save_mesh writes scene meshes."""
+    from PIL import Image
+
+    from diffuscene_tpu.cli.completion_rearrange import main
+    from diffuscene_tpu.data.synthetic import BEDROOM_TYPES
+    from diffuscene_tpu.data.threed_future import ThreedFutureDataset
+
+    cfg_path, root = synth_config
+    pkl = os.path.join(root, "future_models_tex_comp.pkl")
+    ThreedFutureDataset(
+        [_TexturedMeshObj(t, [0.5, 0.4, 0.5], os.path.join(root, "objs_comp", t))
+         for t in BEDROOM_TYPES]).pickle(pkl)
+    comp_dir = os.path.join(root, "completed_textured")
+    main([cfg_path, comp_dir, "--n_sequences", "1", "--batch_size", "8",
+          "--num_partial", "3", "--render", "--save_mesh", "--without_floor",
+          "--path_to_pickled_3d_futute_models", pkl])
+    img = np.asarray(Image.open(os.path.join(comp_dir, "00000.png")))
+    assert (img == [255, 0, 255]).all(-1).any()  # sampled magenta texels
+    assert os.path.isfile(os.path.join(comp_dir, "scene_mesh", "00000.obj"))
+    assert os.path.isfile(
+        os.path.join(comp_dir, "scene_mesh", "00000", "object_000.obj"))
+    assert os.path.isfile(os.path.join(comp_dir, "00000_scene.json"))
+
+
 def test_fid_ipr_cli(synth_config, capsys):
     from diffuscene_tpu.cli.compute_fid_scores import main as fid_main
     from diffuscene_tpu.cli.improved_precision_recall import main as ipr_main
