@@ -384,3 +384,26 @@ def test_export_scene_writes_per_object_files(tmp_path):
     back = load_obj_mesh(str(out / "object_000.obj"))
     assert back["texture_path"].endswith("object_000_mat0.png")
     assert np.isfinite(back["face_uvs"]).all()
+
+
+def test_shipped_demo_floor_textures():
+    """The in-repo demo floor textures (procedural stand-ins for the
+    reference's demo/floor_plan_texture_images JPGs) load and texture a
+    floor plan end-to-end."""
+    demo = os.path.join(os.path.dirname(__file__), os.pardir, "demo",
+                        "floor_plan_texture_images")
+    texs = sorted(os.path.join(demo, f) for f in os.listdir(demo)
+                  if f.endswith(".jpg"))
+    assert len(texs) == 7
+    room = {
+        "floor_plan_vertices": np.array(
+            [[0, 0, 0], [4, 0, 0], [4, 0, 4], [0, 0, 4]], np.float64),
+        "floor_plan_faces": np.array([[0, 1, 2], [0, 2, 3]], np.int64),
+        "floor_plan_centroid": np.array([2.0, 0.0, 2.0]),
+    }
+    floor = floor_plan_from_scene(room, texs, rng=np.random.default_rng(3))
+    assert floor.texture_path in texs
+    img = render_meshes_topdown([floor], image_size=64, room_extent=3.0)
+    inside = img[16:48, 16:48].reshape(-1, 3)
+    assert (inside != 255).any()           # floor drawn
+    assert len(np.unique(inside, axis=0)) > 4  # textured, not one flat color
