@@ -36,7 +36,20 @@ def main(argv=None):
     parser.add_argument("--clip_denoised", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused serving engine (models/inference.py)")
-    parser.add_argument("--render", action="store_true")
+    parser.add_argument("--render", action="store_true",
+                        help="render results; also renders the input scenes "
+                        "into partial/ (completion) or noisy/ (rearrange), "
+                        "like the reference's render_to_folder calls "
+                        "(completion_rearrange.py:332-337,367-380)")
+    parser.add_argument("--render_gt", action="store_true",
+                        help="also render the ground-truth scenes into "
+                        "groundtruth/ (reference validation.gen_gt, "
+                        "completion_rearrange.py:499-538); defaults on when "
+                        "the config sets validation.gen_gt")
+    parser.add_argument("--compute_intersec", action="store_true",
+                        help="bbox IoU/intersection/symmetry stats per scene "
+                        "(reference completion_rearrange.py:430-446 "
+                        "iou_states.txt)")
     from ._scene_output import add_scene_output_args
 
     # the reference's completion/rearrange script shares generate's mesh
@@ -46,6 +59,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..data.factory import get_dataset_raw_and_encoded
+    from ..eval.metrics import (
+        compute_intersection, compute_symmetry, scene_bboxes_from_params,
+    )
     from ..eval.postprocess import split_network_samples
     from ..eval.render import save_image
     from ..models.scene_model import SceneDiffusion, SceneModelConfig
@@ -56,6 +72,9 @@ def main(argv=None):
 
     apply_text_emb_dim_default(config)
     os.makedirs(args.output_directory, exist_ok=True)
+    # reference gates GT renders on validation.gen_gt (completion_rearrange.py:499)
+    args.render_gt = args.render_gt or bool(
+        config.get("validation", {}).get("gen_gt", False))
 
     enc = config["data"]["encoding_type"]
     if "no_prm" not in enc:
@@ -107,6 +126,7 @@ def main(argv=None):
                             fused=args.fused)
 
     n_done = 0
+    per_scene_stats = []
     while n_done < args.n_sequences:
         idxs = [(n_done + i) % len(eval_ds) for i in range(args.batch_size)]
         batch = [eval_ds[i] for i in idxs]
@@ -132,6 +152,19 @@ def main(argv=None):
             out = np.asarray(complete(params, sub, partial))
 
         take = min(args.batch_size, args.n_sequences - n_done)
+
+        def render_aux(arr, subdir, idx):
+            """Render an encoded scene array into a subfolder (the TPU
+            equivalent of the reference's render_to_folder side renders)."""
+            aux = eval_ds.post_process(
+                split_network_samples(scene.spec, arr[None])[0])
+            out_dir = os.path.join(args.output_directory, subdir)
+            os.makedirs(out_dir, exist_ok=True)
+            save_image(scene_out.render(aux, idx),
+                       os.path.join(out_dir, f"{idx:05d}.png"))
+
+        input_name = "noisy" if args.arrange_objects else "partial"
+        inputs = noisy if args.arrange_objects else np.asarray(partial)
         for i, boxes in enumerate(split_network_samples(scene.spec, out[:take])):
             boxes = eval_ds.post_process(boxes)
             idx = n_done + i
@@ -139,13 +172,52 @@ def main(argv=None):
                 json.dump({k: np.asarray(v).tolist() for k, v in boxes.items()}, f)
             if args.render:
                 # mesh-accurate textured render when a catalog is loaded,
-                # oriented boxes otherwise (see _scene_output.SceneOutput)
+                # oriented boxes otherwise (see _scene_output.SceneOutput);
+                # the input scene goes to partial//noisy/ like the
+                # reference's render_foldername (completion_rearrange.py:332-337)
                 save_image(scene_out.render(boxes, idx),
                            os.path.join(args.output_directory, f"{idx:05d}.png"))
+                render_aux(inputs[i], input_name, idx)
+            if args.render_gt:
+                render_aux(target[i], "groundtruth", idx)
             if args.save_mesh:
                 scene_out.export(boxes, idx, args.output_directory)
+            if args.compute_intersec:
+                bb = scene_bboxes_from_params(
+                    np.asarray(boxes["translations"]).reshape(-1, 3),
+                    np.asarray(boxes["sizes"]).reshape(-1, 3))
+                cls = np.asarray(boxes["class_labels"])
+                cls = cls[0] if cls.ndim == 3 else cls
+                n, pairs, avg_iou, avg_insec, ratio = compute_intersection(bb)
+                sym = compute_symmetry(bb, cls)
+                per_scene_stats.append((n, pairs, avg_iou, avg_insec, ratio, sym))
+                # running line per scene, reference iou_states.txt
+                # (completion_rearrange.py:441-446)
+                arr = np.asarray(per_scene_stats, np.float64)
+                with open(os.path.join(args.output_directory, "iou_states.txt"), "a") as f:
+                    f.write(
+                        f"num scenes: {len(arr)} - num objects avg: {arr[:, 0].mean():f}"
+                        f" - std: {arr[:, 0].std():f} - num pairs: {arr[:, 1].mean():f}"
+                        f" - box iou: {arr[:, 2].mean():f}"
+                        f" - box intersec: {arr[:, 3].mean():f}"
+                        f" - overlap ratio: {arr[:, 4].mean():f}"
+                        f" - total num symmetries: {int(arr[:, 5].sum())}\n")
         n_done += take
         print(f"{'arranged' if args.arrange_objects else 'completed'} {n_done}/{args.n_sequences}")
+
+    if args.compute_intersec and per_scene_stats:
+        arr = np.asarray(per_scene_stats, np.float64)
+        stats = {
+            "n_scenes": int(arr.shape[0]),
+            "avg_objects": float(arr[:, 0].mean()),
+            "avg_pair_iou": float(arr[:, 2].mean()),
+            "avg_intersec": float(arr[:, 3].mean()),
+            "avg_overlap_ratio": float(arr[:, 4].mean()),
+            "avg_symmetry": float(arr[:, 5].mean()),
+        }
+        with open(os.path.join(args.output_directory, "metrics.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        print(json.dumps(stats))
 
 
 if __name__ == "__main__":

@@ -122,63 +122,70 @@ def main(argv=None):
     if args.with_wandb_logger:
         logger.init(args, None, project=config.get("logger", {}).get("project", "diffuscene_tpu"),
                     name=experiment_tag)
-    logger.add_output_file(open(os.path.join(experiment_dir, "stats.txt"), "a"))
+    stats_file = open(os.path.join(experiment_dir, "stats.txt"), "a")
+    logger.add_output_file(stats_file)
 
-    epochs = args.epochs if args.epochs is not None else int(config["training"].get("epochs", 1000))
-    save_every = int(config["training"].get("save_frequency", 10))
-    val_every = int(config["validation"].get("frequency", 100))
-    key = jax.random.PRNGKey(args.seed)
+    try:
+        epochs = args.epochs if args.epochs is not None else int(config["training"].get("epochs", 1000))
+        save_every = int(config["training"].get("save_frequency", 10))
+        val_every = int(config["validation"].get("frequency", 100))
+        key = jax.random.PRNGKey(args.seed)
 
-    from ..utils import TraceWindow
+        from ..utils import TraceWindow
 
-    trace_window = (TraceWindow(args.profile_dir, length=args.profile_steps)
-                    if args.profile_dir else None)
-    gstep = 0
-    for epoch in range(start_epoch, epochs):
-        for b, batch in enumerate(train_loader):
-            device_batch = trainer.put_batch(batch)
-            state, metrics = trainer.train_step(state, device_batch, key)
-            if trace_window is not None:
-                trace_window.tick(gstep)
-            gstep += 1
-            # fetch metrics only every log_every batches, as ONE transfer —
-            # per-metric float() costs a device round-trip each, which
-            # serializes the pipeline (measured 600 ms/step vs 47 ms compute
-            # through the TPU tunnel)
-            if (b % max(args.log_every, 1)) == 0:
-                host_metrics = jax.device_get(metrics)
-                loss = float(host_metrics["loss"])
-                if not np.isfinite(loss):
-                    # fail fast with a recoverable state on disk instead of
-                    # silently corrupting the parameters with NaN updates
-                    save_checkpoint(state, experiment_dir, epoch)
-                    raise RuntimeError(
-                        f"non-finite loss at epoch {epoch} batch {b}; checkpoint "
-                        f"saved to {experiment_dir} — resume with a lower lr or "
-                        "smaller max_grad_norm"
-                    )
-                logger.update({k: float(v) for k, v in host_metrics.items()})
-                logger.print_progress(epoch, b + 1, loss)
-        logger["lr"].value = trainer.current_lr(int(state.step))
-        logger.clear()
-
-        if (epoch % save_every) == 0 and epoch > start_epoch:
-            save_checkpoint(state, experiment_dir, epoch,
-                            blocking=not args.async_checkpoints,
-                            keep_last=args.keep_last_checkpoints)
-        if (epoch % val_every) == 0:
-            for b, batch in enumerate(val_loader):
-                metrics = jax.device_get(trainer.eval_step(state, trainer.put_batch(batch), key))
-                logger.update({k: float(v) for k, v in metrics.items()})
-                logger.print_progress(-1, b + 1, float(metrics["loss"]))
+        trace_window = (TraceWindow(args.profile_dir, length=args.profile_steps)
+                        if args.profile_dir else None)
+        gstep = 0
+        for epoch in range(start_epoch, epochs):
+            for b, batch in enumerate(train_loader):
+                device_batch = trainer.put_batch(batch)
+                state, metrics = trainer.train_step(state, device_batch, key)
+                if trace_window is not None:
+                    trace_window.tick(gstep)
+                gstep += 1
+                # fetch metrics only every log_every batches, as ONE transfer —
+                # per-metric float() costs a device round-trip each, which
+                # serializes the pipeline (measured 600 ms/step vs 47 ms compute
+                # through the TPU tunnel)
+                if (b % max(args.log_every, 1)) == 0:
+                    host_metrics = jax.device_get(metrics)
+                    loss = float(host_metrics["loss"])
+                    if not np.isfinite(loss):
+                        # fail fast with a recoverable state on disk instead of
+                        # silently corrupting the parameters with NaN updates
+                        save_checkpoint(state, experiment_dir, epoch)
+                        raise RuntimeError(
+                            f"non-finite loss at epoch {epoch} batch {b}; checkpoint "
+                            f"saved to {experiment_dir} — resume with a lower lr or "
+                            "smaller max_grad_norm"
+                        )
+                    logger.update({k: float(v) for k, v in host_metrics.items()})
+                    logger.print_progress(epoch, b + 1, loss)
+            logger["lr"].value = trainer.current_lr(int(state.step))
             logger.clear()
 
-    if trace_window is not None:
-        trace_window.close()
-    save_checkpoint(state, experiment_dir, epochs - 1,
-                    keep_last=args.keep_last_checkpoints)
-    wait_for_checkpoints()  # commit any in-flight async save before exit
-    print(f"\ndone: {epochs - start_epoch} epochs, final step {int(state.step)}")
+            if (epoch % save_every) == 0 and epoch > start_epoch:
+                save_checkpoint(state, experiment_dir, epoch,
+                                blocking=not args.async_checkpoints,
+                                keep_last=args.keep_last_checkpoints)
+            if (epoch % val_every) == 0:
+                for b, batch in enumerate(val_loader):
+                    metrics = jax.device_get(trainer.eval_step(state, trainer.put_batch(batch), key))
+                    logger.update({k: float(v) for k, v in metrics.items()})
+                    logger.print_progress(-1, b + 1, float(metrics["loss"]))
+                logger.clear()
+
+        if trace_window is not None:
+            trace_window.close()
+        save_checkpoint(state, experiment_dir, epochs - 1,
+                        keep_last=args.keep_last_checkpoints)
+        wait_for_checkpoints()  # commit any in-flight async save before exit
+        print(f"\ndone: {epochs - start_epoch} epochs, final step {int(state.step)}")
+    finally:
+        # the logger is a process-wide singleton; detach this run's
+        # file so a later training in the same process does not
+        # keep appending to it
+        logger.remove_output_file(stats_file)
 
 
 if __name__ == "__main__":

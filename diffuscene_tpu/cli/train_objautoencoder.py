@@ -63,27 +63,31 @@ def main(argv=None):
     start_epoch = (resumed + 1) if resumed is not None else 0
 
     logger = StatsLogger.instance()
-    logger.add_output_file(open(os.path.join(experiment_dir, "stats.txt"), "a"))
+    stats_file = open(os.path.join(experiment_dir, "stats.txt"), "a")
+    logger.add_output_file(stats_file)
     epochs = args.epochs if args.epochs is not None else int(config["training"].get("epochs", 2000))
     save_every = int(config["training"].get("save_frequency", 100))
     rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
 
     order = np.arange(len(dataset))
-    for epoch in range(start_epoch, epochs):
-        rng.shuffle(order)
-        for b in range(steps_per_epoch):
-            idxs = order[b * batch_size : (b + 1) * batch_size]
-            pts = np.stack([dataset[int(i)]["points"] for i in idxs])
-            state, metrics = trainer.train_step(state, trainer.put_batch(pts), key)
-            if (b % 10) == 0:  # one batched host fetch, not one per metric
-                host_metrics = jax.device_get(metrics)
-                logger.update({k: float(v) for k, v in host_metrics.items()})
-                logger.print_progress(epoch, b + 1, float(host_metrics["loss"]))
-        logger.clear()
-        if (epoch % save_every) == 0 and epoch > start_epoch:
-            save_checkpoint(state, experiment_dir, epoch)
-    save_checkpoint(state, experiment_dir, epochs - 1)
+    try:
+        for epoch in range(start_epoch, epochs):
+            rng.shuffle(order)
+            for b in range(steps_per_epoch):
+                idxs = order[b * batch_size : (b + 1) * batch_size]
+                pts = np.stack([dataset[int(i)]["points"] for i in idxs])
+                state, metrics = trainer.train_step(state, trainer.put_batch(pts), key)
+                if (b % 10) == 0:  # one batched host fetch, not one per metric
+                    host_metrics = jax.device_get(metrics)
+                    logger.update({k: float(v) for k, v in host_metrics.items()})
+                    logger.print_progress(epoch, b + 1, float(host_metrics["loss"]))
+            logger.clear()
+            if (epoch % save_every) == 0 and epoch > start_epoch:
+                save_checkpoint(state, experiment_dir, epoch)
+        save_checkpoint(state, experiment_dir, epochs - 1)
+    finally:
+        logger.remove_output_file(stats_file)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,15 @@ class StatsLogger:
     def add_output_file(self, f: TextIO):
         self._output_files.append(f)
 
+    def remove_output_file(self, f: TextIO):
+        """Detach (and close) a per-run stats file.  The logger is a
+        process-wide singleton (stats_logger.py:22-64 semantics), so CLIs
+        that run multiple trainings in one process must detach their file
+        when done or later runs keep writing into it."""
+        if f in self._output_files:
+            self._output_files.remove(f)
+        f.close()
+
     def __getitem__(self, key: str) -> AverageAggregator:
         if key not in self._values:
             self._values[key] = AverageAggregator()

@@ -264,6 +264,7 @@ def test_completion_cli_textured_mesh_output(synth_config):
     comp_dir = os.path.join(root, "completed_textured")
     main([cfg_path, comp_dir, "--n_sequences", "1", "--batch_size", "8",
           "--num_partial", "3", "--render", "--save_mesh", "--without_floor",
+          "--render_gt", "--compute_intersec",
           "--path_to_pickled_3d_futute_models", pkl])
     img = np.asarray(Image.open(os.path.join(comp_dir, "00000.png")))
     assert (img == [255, 0, 255]).all(-1).any()  # sampled magenta texels
@@ -271,6 +272,16 @@ def test_completion_cli_textured_mesh_output(synth_config):
     assert os.path.isfile(
         os.path.join(comp_dir, "scene_mesh", "00000", "object_000.obj"))
     assert os.path.isfile(os.path.join(comp_dir, "00000_scene.json"))
+    # reference side renders: partial input + GT scene folders
+    # (completion_rearrange.py:332-337, 499-538)
+    assert os.path.isfile(os.path.join(comp_dir, "partial", "00000.png"))
+    gt = np.asarray(Image.open(os.path.join(comp_dir, "groundtruth", "00000.png")))
+    assert (gt != 255).any()
+    # iou_states.txt + metrics.json (completion_rearrange.py:430-446)
+    assert os.path.isfile(os.path.join(comp_dir, "iou_states.txt"))
+    with open(os.path.join(comp_dir, "metrics.json")) as f:
+        m = json.load(f)
+    assert m["n_scenes"] == 1 and np.isfinite(m["avg_pair_iou"])
 
 
 def test_fid_ipr_cli(synth_config, capsys):

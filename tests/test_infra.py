@@ -74,6 +74,27 @@ def test_stats_logger():
     StatsLogger.reset_instance()
 
 
+def test_stats_logger_remove_output_file(tmp_path):
+    """Two trainings in one process must not cross-write stats files: the
+    singleton keeps registered sinks forever unless the CLI detaches its
+    per-run file (remove_output_file) when done."""
+    StatsLogger.reset_instance()
+    logger = StatsLogger.instance()
+    f1 = open(tmp_path / "run1.txt", "a")
+    logger.add_output_file(f1)
+    logger.print_progress(0, 1, 1.0)
+    logger.remove_output_file(f1)
+    assert f1.closed
+    logger.clear()  # between-runs reset (the CLIs clear per epoch)
+    f2 = open(tmp_path / "run2.txt", "a")
+    logger.add_output_file(f2)
+    logger.print_progress(0, 1, 2.0)
+    logger.remove_output_file(f2)
+    assert "2.00000" not in (tmp_path / "run1.txt").read_text()
+    assert "2.00000" in (tmp_path / "run2.txt").read_text()
+    StatsLogger.reset_instance()
+
+
 def test_load_reference_format_config(tmp_path):
     p = tmp_path / "cfg.yaml"
     p.write_text(
