@@ -98,14 +98,21 @@ def main():
     print(json.dumps(line))
 
 
-def train_metric(variant: str = "f32"):
+def train_metric(variant: str = "f32", spd: int = 1):
     """Optional secondary benchmark: train steps/sec at the reference recipe
     (batch 128, IoU loss).  Run with `python bench.py train` (f32),
     `python bench.py train bf16` (bf16 activations; measured v5e B=128:
     8.72 ms/step vs 9.45 f32), or `python bench.py train bf16_fast`
     (bf16 + tanh-approx GELU, the fast-training option).  The Trainer's mixed_precision pre-cast is
     NOT used — measured slower (10.49 ms/step) than the in-forward casts,
-    which fuse into the matmul prologs (see train/trainer.py docstring)."""
+    which fuse into the matmul prologs (see train/trainer.py docstring).
+
+    An optional third arg sets steps-per-dispatch:
+    `python bench.py train bf16 8` runs 8 train steps per device dispatch
+    via Trainer.train_step_scan (one lax.scan program), the path the train
+    CLI's --steps_per_dispatch uses to amortize host dispatch through
+    remote TPU tunnels.  Each dispatch re-puts freshly stacked host batches
+    so the measured rate includes the real host->device transfer cost."""
     import time
 
     import jax
@@ -155,20 +162,46 @@ def train_metric(variant: str = "f32"):
         "objfeats_32": rng.normal(0, 1, (B, 12, 32)).astype(np.float32),
     })
     key = jax.random.PRNGKey(1)
-    for _ in range(2):  # warmup (the step compiles twice, see CLAUDE.md)
-        state, m = trainer.train_step(state, batch, key)
-    jax.block_until_ready(m["loss"])
-    N = 100
-    t0 = time.perf_counter()
-    for _ in range(N):
-        state, m = trainer.train_step(state, batch, key)
-    jax.block_until_ready(m["loss"])
-    dt = time.perf_counter() - t0
+    if spd > 1:
+        def host_batch(seed):
+            r = np.random.default_rng(seed)
+            return {
+                "translations": r.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+                "sizes": r.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+                "angles": r.uniform(-1, 1, (B, 12, 2)).astype(np.float32),
+                "class_labels": (r.integers(0, 2, (B, 12, 22)) * 2 - 1).astype(np.float32),
+                "objfeats_32": r.normal(0, 1, (B, 12, 32)).astype(np.float32),
+            }
+
+        chunks = [[host_batch(100 + d * spd + i) for i in range(spd)]
+                  for d in range(8)]
+        for _ in range(2):  # warmup (compiles twice, see CLAUDE.md)
+            state, m = trainer.train_step_scan(state, trainer.put_batches(chunks[0]), key)
+        jax.block_until_ready(m["loss"])
+        N_DISP = 50
+        t0 = time.perf_counter()
+        for d in range(N_DISP):
+            state, m = trainer.train_step_scan(
+                state, trainer.put_batches(chunks[d % len(chunks)]), key)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
+        N = N_DISP * spd
+    else:
+        for _ in range(2):  # warmup (the step compiles twice, see CLAUDE.md)
+            state, m = trainer.train_step(state, batch, key)
+        jax.block_until_ready(m["loss"])
+        N = 100
+        t0 = time.perf_counter()
+        for _ in range(N):
+            state, m = trainer.train_step(state, batch, key)
+        jax.block_until_ready(m["loss"])
+        dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": "bedroom_train_steps_per_sec",
         "value": round(N / dt, 3),
         "unit": "steps/sec",
         "variant": variant,
+        "steps_per_dispatch": spd,
         "vs_baseline": None,
     }))
 
@@ -376,7 +409,8 @@ if __name__ == "__main__":
     import sys
 
     if len(sys.argv) > 1 and sys.argv[1] == "train":
-        train_metric(sys.argv[2] if len(sys.argv) > 2 else "f32")
+        train_metric(sys.argv[2] if len(sys.argv) > 2 else "f32",
+                     int(sys.argv[3]) if len(sys.argv) > 3 else 1)
     elif len(sys.argv) > 1 and sys.argv[1] == "reference":
         measure_reference()
     elif len(sys.argv) > 1 and sys.argv[1] == "multichip":

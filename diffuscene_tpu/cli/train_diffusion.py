@@ -41,6 +41,12 @@ def main(argv=None):
     parser.add_argument("--keep_last_checkpoints", type=int, default=None,
                         help="retain only the N highest-epoch checkpoints "
                         "(default: keep all, like the reference)")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="run N train steps as ONE jitted lax.scan "
+                        "dispatch (train/trainer.py train_step_scan) — "
+                        "amortizes host dispatch, which dominates short "
+                        "steps through remote TPU tunnels; logging/metrics "
+                        "then advance once per dispatch")
     parser.add_argument("--profile_dir", default=None,
                         help="capture a jax.profiler trace of steady-state "
                         "training steps to this directory (XProf/TensorBoard)")
@@ -136,10 +142,25 @@ def main(argv=None):
         trace_window = (TraceWindow(args.profile_dir, length=args.profile_steps)
                         if args.profile_dir else None)
         gstep = 0
+        spd = max(args.steps_per_dispatch, 1)
         for epoch in range(start_epoch, epochs):
+            pending = []  # host batches awaiting a scan dispatch (spd > 1)
+            n_batches = len(train_loader)
             for b, batch in enumerate(train_loader):
-                device_batch = trainer.put_batch(batch)
-                state, metrics = trainer.train_step(state, device_batch, key)
+                if spd > 1:
+                    pending.append(batch)
+                    if len(pending) < spd and (b + 1) < n_batches:
+                        continue
+                    if len(pending) == 1:
+                        state, metrics = trainer.train_step(
+                            state, trainer.put_batch(pending[0]), key)
+                    else:
+                        state, metrics = trainer.train_step_scan(
+                            state, trainer.put_batches(pending), key)
+                    pending = []
+                else:
+                    device_batch = trainer.put_batch(batch)
+                    state, metrics = trainer.train_step(state, device_batch, key)
                 if trace_window is not None:
                     trace_window.tick(gstep)
                 gstep += 1

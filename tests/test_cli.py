@@ -85,6 +85,20 @@ def test_train_cli(synth_config):
     assert os.path.isfile(os.path.join(exp, "stats.txt"))
 
 
+def test_train_cli_steps_per_dispatch(synth_config):
+    """--steps_per_dispatch 2 groups train steps into lax.scan dispatches
+    (any trailing leftover chunk runs through the single-step path)."""
+    from diffuscene_tpu.cli.train_diffusion import main
+
+    cfg_path, root = synth_config
+    out = os.path.join(root, "out_spd")
+    main([cfg_path, out, "--experiment_tag", "spd", "--seed", "0",
+          "--epochs", "1", "--steps_per_dispatch", "2"])
+    exp = os.path.join(out, "spd")
+    assert any(d.startswith("model_") for d in os.listdir(exp))
+    assert os.path.isfile(os.path.join(exp, "stats.txt"))
+
+
 def test_generate_cli(synth_config):
     from diffuscene_tpu.cli.generate_diffusion import main
 

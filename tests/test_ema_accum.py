@@ -166,3 +166,44 @@ def test_ema_with_grad_accum_decays_once_per_real_update():
     p = leaf(state.params)
     np.testing.assert_allclose(leaf(state.ema_params), d * ema0 + (1 - d) * p,
                                rtol=1e-5, atol=1e-7)
+
+
+def test_train_step_scan_matches_sequential():
+    """train_step_scan(k batches) == k sequential train_step calls with the
+    same key: identical final params/step, metrics are the per-step mean."""
+    scene = tiny_scene()
+    key = jax.random.PRNGKey(1)
+
+    t1 = Trainer(scene, BASE_CFG)
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    host = []
+    for i in range(3):
+        rng = np.random.default_rng(10 + i)
+        host.append({
+            "translations": rng.uniform(-1, 1, (8, 12, 3)).astype(np.float32),
+            "sizes": rng.uniform(-1, 1, (8, 12, 3)).astype(np.float32),
+            "angles": rng.uniform(-1, 1, (8, 12, 2)).astype(np.float32),
+            "class_labels": (rng.integers(0, 2, (8, 12, 22)) * 2 - 1).astype(np.float32),
+            "objfeats_32": rng.normal(0, 1, (8, 12, 32)).astype(np.float32),
+        })
+    seq_metrics = []
+    for b in host:
+        s1, m = t1.train_step(s1, t1.put_batch(b), key)
+        seq_metrics.append(jax.device_get(m))
+    p_seq = jax.device_get(s1.params)
+
+    t2 = Trainer(scene, BASE_CFG)
+    s2 = t2.init_state(jax.random.PRNGKey(0))
+    s2, m_scan = t2.train_step_scan(s2, t2.put_batches(host), key)
+    assert int(s2.step) == 3
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+        jax.device_get(s2.params), p_seq)
+    m_scan = jax.device_get(m_scan)
+    for k2 in ("loss", "gradnorm"):
+        np.testing.assert_allclose(
+            m_scan[k2], np.mean([m[k2] for m in seq_metrics]), rtol=1e-5)
+    # second call with the same k reuses the compiled program (cache hit)
+    assert len(t2._train_scan_cache) == 1
+    s2, _ = t2.train_step_scan(s2, t2.put_batches(host), key)
+    assert len(t2._train_scan_cache) == 1 and int(s2.step) == 6
