@@ -143,6 +143,10 @@ def main(argv=None):
                         if args.profile_dir else None)
         gstep = 0
         spd = max(args.steps_per_dispatch, 1)
+        log_every = max(args.log_every, 1)
+        # steps executed since the last metrics fetch; primed so the first
+        # dispatch of a run always logs (matches the b == 0 log at spd == 1)
+        since_log = log_every
         for epoch in range(start_epoch, epochs):
             pending = []  # host batches awaiting a scan dispatch (spd > 1)
             n_batches = len(train_loader)
@@ -151,7 +155,8 @@ def main(argv=None):
                     pending.append(batch)
                     if len(pending) < spd and (b + 1) < n_batches:
                         continue
-                    if len(pending) == 1:
+                    n_stepped = len(pending)
+                    if n_stepped == 1:
                         state, metrics = trainer.train_step(
                             state, trainer.put_batch(pending[0]), key)
                     else:
@@ -159,16 +164,22 @@ def main(argv=None):
                             state, trainer.put_batches(pending), key)
                     pending = []
                 else:
+                    n_stepped = 1
                     device_batch = trainer.put_batch(batch)
                     state, metrics = trainer.train_step(state, device_batch, key)
                 if trace_window is not None:
                     trace_window.tick(gstep)
-                gstep += 1
-                # fetch metrics only every log_every batches, as ONE transfer —
+                gstep += n_stepped
+                since_log += n_stepped
+                # fetch metrics only every log_every STEPS, as ONE transfer —
                 # per-metric float() costs a device round-trip each, which
                 # serializes the pipeline (measured 600 ms/step vs 47 ms compute
-                # through the TPU tunnel)
-                if (b % max(args.log_every, 1)) == 0:
+                # through the TPU tunnel).  Counted in steps (not loader
+                # iterations) so grouped dispatches (spd > 1) still log: with
+                # spd=8 / log_every=10, `b % 10 == 0` never lands on a
+                # dispatch iteration.
+                if since_log >= log_every:
+                    since_log = 0
                     host_metrics = jax.device_get(metrics)
                     loss = float(host_metrics["loss"])
                     if not np.isfinite(loss):
