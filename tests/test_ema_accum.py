@@ -207,3 +207,37 @@ def test_train_step_scan_matches_sequential():
     assert len(t2._train_scan_cache) == 1
     s2, _ = t2.train_step_scan(s2, t2.put_batches(host), key)
     assert len(t2._train_scan_cache) == 1 and int(s2.step) == 6
+
+
+def test_train_step_scan_with_ema_and_accum_matches_sequential():
+    """The scan path composes with EMA + grad accumulation: scanning 4
+    batches equals 4 sequential steps (2 micro-steps per real update, EMA
+    decaying once per REAL update in both)."""
+    scene = tiny_scene()
+    cfg = {**BASE_CFG, "ema_decay": 0.5, "grad_accum": 2}
+    key = jax.random.PRNGKey(1)
+    host = []
+    for i in range(4):
+        rng = np.random.default_rng(20 + i)
+        host.append({
+            "translations": rng.uniform(-1, 1, (8, 12, 3)).astype(np.float32),
+            "sizes": rng.uniform(-1, 1, (8, 12, 3)).astype(np.float32),
+            "angles": rng.uniform(-1, 1, (8, 12, 2)).astype(np.float32),
+            "class_labels": (rng.integers(0, 2, (8, 12, 22)) * 2 - 1).astype(np.float32),
+            "objfeats_32": rng.normal(0, 1, (8, 12, 32)).astype(np.float32),
+        })
+
+    t1 = Trainer(scene, cfg)
+    s1 = t1.init_state(jax.random.PRNGKey(0))
+    for b in host:
+        s1, _ = t1.train_step(s1, t1.put_batch(b), key)
+
+    t2 = Trainer(scene, cfg)
+    s2 = t2.init_state(jax.random.PRNGKey(0))
+    s2, _ = t2.train_step_scan(s2, t2.put_batches(host), key)
+
+    assert int(s2.step) == int(s1.step) == 4
+    for attr in ("params", "ema_params"):
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            jax.device_get(getattr(s2, attr)), jax.device_get(getattr(s1, attr)))
