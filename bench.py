@@ -41,15 +41,14 @@ def _measured_reference_scenes_per_sec():
         return None
 
 
-def main():
+def _flagship_scene():
+    """Flagship serving model: full-size bedroom denoiser, bf16 activations
+    (params stay f32), fused engine-ready.  Shared by the DDPM headline bench
+    and the DPM-Solver++ fast-serving bench so both measure the same model."""
     import jax
     import jax.numpy as jnp
     from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
 
-    # bf16 activations (params stay f32) + large batch + the fused serving
-    # engine (models/inference.py: hoisted weight standardization, time-FiLM
-    # tables, 2-D block-masked attention, one-pass f32 GN moments) — measured
-    # on v5e: ~165-168 scenes/s at B=768 vs ~122 for the plain Flax forward
     net_kwargs = dict(
         dim=512, dim_mults=(1, 1, 1, 1), channels=62, objectness_dim=0,
         class_dim=22, angle_dim=2, objfeat_dim=32, context_dim=0,
@@ -66,6 +65,17 @@ def main():
     )
     scene = SceneDiffusion(cfg)
     params = scene.init(jax.random.PRNGKey(0), batch_size=2)
+    return scene, params
+
+
+def main():
+    import jax
+
+    # bf16 activations (params stay f32) + large batch + the fused serving
+    # engine (models/inference.py: hoisted weight standardization, time-FiLM
+    # tables, 2-D block-masked attention, one-pass f32 GN moments) — measured
+    # on v5e: ~165-168 scenes/s at B=768 vs ~122 for the plain Flax forward
+    scene, params = _flagship_scene()
 
     B = 768  # scenes sampled per program (throughput-optimal on one v5e chip)
 
@@ -96,6 +106,53 @@ def main():
     if measured:
         line["vs_reference_measured_cpu"] = round(scenes_per_sec / measured, 1)
     print(json.dumps(line))
+
+
+def dpm_metric(steps: int = 20, B: int = 768):
+    """Fast-serving benchmark: scenes/sec with DPM-Solver++(2M) sampling
+    (`python bench.py dpm [steps] [B]`).
+
+    Same flagship model + fused engine as the DDPM headline, but the
+    1000-step ancestral chain is replaced by a `steps`-step (default 20)
+    DPM-Solver++(2M) scan (diffusion/samplers.py dpm_solver_sample_loop — no
+    reference counterpart; the reference only ships the 1000-step DDPM eval
+    path, generate_diffusion.py:294).  Quality at 20 steps was validated on
+    the full-dress rehearsal checkpoint: categorical KL 0.053 vs 0.116 for a
+    200-step ancestral chain (docs/PERFORMANCE.md).  The headline bench stays
+    DDPM-1000 for apples-to-apples with the reference procedure; this mode
+    quantifies the production serving configuration.
+    """
+    import jax
+
+    scene, params = _flagship_scene()
+
+    def sample(params, key):
+        return scene.sample(params, key, batch_size=B, clip_denoised=True,
+                            dpm=True, dpm_steps=steps, fused=True)
+
+    sample_jit = jax.jit(sample)
+    out = sample_jit(params, jax.random.PRNGKey(1))  # warmup/compile
+    out.block_until_ready()
+    assert np.isfinite(np.asarray(out)).all()
+
+    # ~50x fewer steps than the DDPM chain: run enough batches for a
+    # multi-second window (single-call timings through the tunnel are noise)
+    n_runs = 40
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = sample_jit(params, jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    scenes_per_sec = B * n_runs / dt
+    print(json.dumps({
+        "metric": f"bedroom_dpmpp2m{steps}_scenes_per_sec",
+        "value": round(scenes_per_sec, 1),
+        "unit": "scenes/sec",
+        "solver_steps": steps,
+        "batch": B,
+        "vs_baseline": None,
+    }))
 
 
 def train_metric(variant: str = "f32", spd: int = 1):
@@ -415,8 +472,11 @@ if __name__ == "__main__":
         measure_reference()
     elif len(sys.argv) > 1 and sys.argv[1] == "multichip":
         multichip_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 8)
+    elif len(sys.argv) > 1 and sys.argv[1] == "dpm":
+        dpm_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 20,
+                   int(sys.argv[3]) if len(sys.argv) > 3 else 768)
     elif len(sys.argv) > 1:
         raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; "
-                         "expected one of train, reference, multichip")
+                         "expected one of train, reference, multichip, dpm")
     else:
         main()
