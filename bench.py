@@ -136,8 +136,10 @@ def dpm_metric(steps: int = 20, B: int = 768):
     assert np.isfinite(np.asarray(out)).all()
 
     # ~50x fewer steps than the DDPM chain: run enough batches for a
-    # multi-second window (single-call timings through the tunnel are noise)
-    n_runs = 40
+    # multi-second window (single-call timings through the tunnel are noise).
+    # Scale inversely with `steps` so the window stays a few seconds whatever
+    # solver-step count is requested (800//steps == 40 at the 20-step default).
+    n_runs = max(4, 800 // steps)
     t0 = time.perf_counter()
     for i in range(n_runs):
         out = sample_jit(params, jax.random.PRNGKey(2 + i))

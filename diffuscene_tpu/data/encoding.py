@@ -109,14 +109,21 @@ def apply_rotation(sample: Sample, rot_angle: float, angle_bounds) -> Sample:
 
 def random_rotation_angle(rng: np.random.Generator, fixed: bool,
                           min_rad=0.174533, max_rad=5.06145) -> float:
-    """(threed_front_dataset.py:330-346).  ``fixed`` draws from 90-degree steps."""
+    """(threed_front_dataset.py:330-346).  ``fixed`` draws from 90-degree steps.
+
+    The reference ``fixed_rot_angle`` property re-draws ``np.random.rand()``
+    at every elif (threed_front_dataset.py:338-346), so the four angles are
+    NOT uniform: P(1.5pi)=0.25, P(pi)=0.75*0.5=0.375, P(0.5pi)=0.28125,
+    P(0)=0.09375.  Reproduced here with a single draw against the
+    cascade-equivalent cumulative thresholds.
+    """
     if fixed:
         u = rng.random()
         if u < 0.25:
             return np.pi * 1.5
-        elif u < 0.50:
+        elif u < 0.625:
             return np.pi
-        elif u < 0.75:
+        elif u < 0.90625:
             return np.pi * 0.5
         return 0.0
     if rng.random() < 0.5:
@@ -169,6 +176,11 @@ def descale_sample(sample: Sample, bounds: Bounds, cosin_angle: bool,
             out[k] = descale(v, bounds.objfeats[1], bounds.objfeats[2])
         elif k == "objfeats_32" and objfeats_norm:
             out[k] = descale(v, bounds.objfeats_32[1], bounds.objfeats_32[2])
+        elif k in ("objfeats", "objfeats_32"):
+            # plain Scale.post_process DROPS un-normalized objfeats keys
+            # (threed_front_dataset.py:410-411 `continue` while building a
+            # new dict) — reproduce, retrieval reads them pre-post_process
+            continue
         else:
             out[k] = v
     return out
@@ -396,15 +408,22 @@ def build_encoding(
         mode = "diffusion"
     else:
         raise NotImplementedError(f"encoding '{name}'")
+    # the reference factory picks Scale_CosinAngle_ObjfeatsNorm whenever
+    # EITHER token appears (threed_front_dataset.py:1027-1029 `or`), and that
+    # class both cos/sins the angles AND min/max-normalizes objfeats — the
+    # two behaviors are coupled, never independent
+    cosin_or_norm = "cosin_angle" in name or "objfeatsnorm" in name
     return EncodingPipeline(
         mode=mode,
         bounds=bounds,
         max_length=max_length,
         class_labels=class_labels,
         class_frequencies=class_frequencies,
-        cosin_angle="cosin_angle" in name,
-        objfeats_norm="objfeatsnorm" in name,
-        use_objfeats="objfeats" in name or "lat32" in name,
+        cosin_angle=cosin_or_norm,
+        objfeats_norm=cosin_or_norm,
+        # permute-key selection keys off the literal "objfeats" token
+        # (threed_front_dataset.py:1038; "objfeatsnorm" also contains it)
+        use_objfeats="objfeats" in name,
         lat32="lat32" in name,
         permute="no_prm" not in name and "eval" not in name,
         augmentations=augmentations,

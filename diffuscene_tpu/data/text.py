@@ -51,7 +51,9 @@ def num2words(n: int, ordinal: bool = False) -> str:
     return str(n)
 
 
-_VOWEL_WORDS_AN = {"armchair", "l-shaped", "hour"}  # domain words taking "an"
+# domain words taking "an" by pronunciation: "l" covers "l_shaped_sofa",
+# whose cleaned first word is the bare letter (CMU "EH L" = vowel sound)
+_VOWEL_WORDS_AN = {"armchair", "l", "l-shaped", "hour"}
 
 
 def get_article(word: str) -> str:

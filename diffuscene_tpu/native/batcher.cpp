@@ -97,9 +97,12 @@ void encode_diffusion_batch(
     // rotation augmentation angle
     double rot = 0.0;
     if (rotation_mode == 1) {
+      // cascade-equivalent thresholds for the reference fixed_rot_angle
+      // re-draw quirk (threed_front_dataset.py:338-346):
+      // P = {1.5pi: 0.25, pi: 0.375, 0.5pi: 0.28125, 0: 0.09375}
       double u = rng.uniform();
-      rot = (u < 0.25) ? 4.71238898038469 : (u < 0.5) ? 3.141592653589793
-            : (u < 0.75) ? 1.5707963267948966 : 0.0;
+      rot = (u < 0.25) ? 4.71238898038469 : (u < 0.625) ? 3.141592653589793
+            : (u < 0.90625) ? 1.5707963267948966 : 0.0;
     } else if (rotation_mode == 2) {
       if (rng.uniform() < 0.5) rot = 0.174533 + rng.uniform() * (5.06145 - 0.174533);
     }
