@@ -157,6 +157,53 @@ def dpm_metric(steps: int = 20, B: int = 768):
     }))
 
 
+def mfu_metric(B: int = 768):
+    """MFU of the headline fused DDPM-1000 sampler (`python bench.py mfu`).
+
+    flops per scan step come from XLA's own cost analysis of the compiled
+    program (everything executed, not just matmuls; the analysis reports one
+    scan-body execution), time from a multi-run window.  Reported against the
+    v5e per-chip bf16 peak (197 TFLOP/s); the hot-matmul-only MFU is ≈60%
+    (≈540 GFLOP/step, docs/PERFORMANCE.md).
+    """
+    import jax
+
+    scene, params = _flagship_scene()
+
+    def sample(params, key):
+        return scene.sample(params, key, batch_size=B, clip_denoised=True, fused=True)
+
+    compiled = jax.jit(sample).lower(params, jax.random.PRNGKey(1)).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_per_step = float(ca.get("flops", 0.0))
+
+    out = compiled(params, jax.random.PRNGKey(1))
+    out.block_until_ready()
+    n_runs = 2
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = compiled(params, jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / n_runs
+
+    steps = 1000
+    peak = 197e12  # v5e bf16 per chip
+    sustained = flops_per_step * steps / dt
+    print(json.dumps({
+        "metric": "bedroom_ddpm1000_mfu_vs_v5e_bf16_peak",
+        "value": round(sustained / peak, 4),
+        "unit": "fraction",
+        "sustained_tflops": round(sustained / 1e12, 1),
+        "xla_flops_per_step": flops_per_step,
+        "ms_per_step": round(dt / steps * 1e3, 4),
+        "scenes_per_sec": round(B / dt, 1),
+        "batch": B,
+        "vs_baseline": None,
+    }))
+
+
 def train_metric(variant: str = "f32", spd: int = 1):
     """Optional secondary benchmark: train steps/sec at the reference recipe
     (batch 128, IoU loss).  Run with `python bench.py train` (f32),
@@ -477,8 +524,10 @@ if __name__ == "__main__":
     elif len(sys.argv) > 1 and sys.argv[1] == "dpm":
         dpm_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 20,
                    int(sys.argv[3]) if len(sys.argv) > 3 else 768)
+    elif len(sys.argv) > 1 and sys.argv[1] == "mfu":
+        mfu_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 768)
     elif len(sys.argv) > 1:
         raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; "
-                         "expected one of train, reference, multichip, dpm")
+                         "expected one of train, reference, multichip, dpm, mfu")
     else:
         main()

@@ -32,9 +32,36 @@ def add_scene_output_args(parser):
     parser.add_argument("--without_floor", action="store_true",
                         help="skip the floor plan in renders (reference :142-144)")
     parser.add_argument("--save_mesh", action="store_true",
-                        help="write the merged scene OBJ + per-object textured "
+                        help="write the merged scene mesh + per-object textured "
                         "OBJ/MTL/texture triples under scene_mesh/ "
                         "(reference generate_diffusion.py:431-444)")
+    parser.add_argument("--mesh_format", default=".obj",
+                        choices=[".obj", ".ply"],
+                        help="format of the merged scene mesh written by "
+                        "--save_mesh (reference --mesh_format, "
+                        "generate_diffusion.py:157-162; default there .ply, "
+                        "here .obj so textures survive)")
+    # perspective / orbiting camera (reference generate_diffusion.py:82-127;
+    # rendered there with simple_3dviz, here eval/render.py's numpy
+    # perspective rasterizer).  --render stays top-down orthographic (the
+    # metric-comparable view); these add the qualitative-viz surface.
+    csv_floats = lambda s: tuple(float(x) for x in s.split(","))
+    parser.add_argument("--render_perspective", action="store_true",
+                        help="also save a perspective render per scene "
+                        "(*_persp.png) using the camera flags below")
+    parser.add_argument("--up_vector", type=csv_floats, default=(0.0, 1.0, 0.0))
+    parser.add_argument("--camera_position", type=csv_floats,
+                        default=(-0.10923499, 1.9325259, -7.19009))
+    parser.add_argument("--camera_target", type=csv_floats, default=(0.0, 0.0, 0.0))
+    parser.add_argument("--window_size", type=lambda s: tuple(
+        int(x) for x in s.split(",")), default=(512, 512))
+    parser.add_argument("--with_rotating_camera", action="store_true",
+                        help="render an orbit of --n_frames frames per scene "
+                        "(reference generate_diffusion.py:104-127)")
+    parser.add_argument("--save_frames", default=None,
+                        help="directory for the orbit frames (default: "
+                        "<output>/frames)")
+    parser.add_argument("--n_frames", type=int, default=360)
 
 
 class SceneOutput:
@@ -83,16 +110,10 @@ class SceneOutput:
         return get_textured_objects(boxes, self.objects_dataset,
                                     self.raw.class_labels)
 
-    def render(self, boxes, idx: int) -> np.ndarray:
-        """Top-down render of one scene: mesh-accurate with texture sampling
-        when a catalog is loaded (generate_diffusion.py:251-264 path), else
-        oriented boxes."""
-        if self.objects_dataset is None:
-            from ..eval.render import render_scene_dict
-
-            return render_scene_dict(boxes, floor_mask=None)
-
-        from ..eval.render import class_colors, render_meshes_topdown
+    def _scene_meshes(self, boxes, idx: int, floor_idx: int | None = None):
+        """(meshes, colors) for one scene: retrieved catalog meshes plus the
+        conditioning scene's floor plan (generate_diffusion.py:305-315)."""
+        from ..eval.render import class_colors
         from ..eval.retrieval import floor_plan_from_scene
 
         meshes = self.retrieve(boxes)
@@ -105,13 +126,60 @@ class SceneOutput:
             # a floor plan from the eval split, textured when a texture dir
             # is given (generate_diffusion.py:305-309)
             floor = floor_plan_from_scene(
-                self.raw.get_floor_plan(idx % len(self.raw)),
+                self.raw.get_floor_plan(
+                    (idx if floor_idx is None else floor_idx) % len(self.raw)),
                 self.floor_textures, rng=self.floor_rng)
             meshes = [floor] + meshes
             colors = np.concatenate(
                 [np.array([[230, 230, 230]], np.uint8), colors])
+        return meshes, colors
+
+    def render(self, boxes, idx: int, floor_idx: int | None = None) -> np.ndarray:
+        """Top-down render of one scene: mesh-accurate with texture sampling
+        when a catalog is loaded (generate_diffusion.py:251-264 path), else
+        oriented boxes.  ``floor_idx`` selects which eval-split scene provides
+        the floor plan (the conditioning scene under --scene_id/--fix_order,
+        generate_diffusion.py:305-315); defaults to the output index."""
+        if self.objects_dataset is None:
+            from ..eval.render import render_scene_dict
+
+            return render_scene_dict(boxes, floor_mask=None)
+
+        from ..eval.render import render_meshes_topdown
+
+        meshes, colors = self._scene_meshes(boxes, idx, floor_idx)
         return render_meshes_topdown(meshes, colors=colors,
                                      use_textures=not self.args.no_texture)
+
+    def perspective_outputs(self, boxes, idx: int, output_directory: str,
+                            floor_idx: int | None = None):
+        """Perspective render (+ optional orbit frames) for one scene —
+        the reference's default camera surface (--camera_position /
+        --up_vector / --with_rotating_camera / --save_frames / --n_frames,
+        generate_diffusion.py:82-127).  No-op without a retrieved catalog."""
+        a = self.args
+        if self.objects_dataset is None or not (
+                getattr(a, "render_perspective", False)
+                or getattr(a, "with_rotating_camera", False)):
+            return
+        from ..eval.render import (
+            render_meshes_perspective, render_orbit_frames, save_image,
+        )
+
+        meshes, colors = self._scene_meshes(boxes, idx, floor_idx)
+        cam = dict(camera_position=a.camera_position,
+                   camera_target=a.camera_target, up_vector=a.up_vector,
+                   window_size=a.window_size, colors=colors,
+                   use_textures=not a.no_texture)
+        if getattr(a, "render_perspective", False):
+            save_image(render_meshes_perspective(meshes, **cam),
+                       os.path.join(output_directory, f"{idx:05d}_persp.png"))
+        if getattr(a, "with_rotating_camera", False):
+            frames_root = a.save_frames or os.path.join(output_directory, "frames")
+            cam.pop("camera_position")
+            render_orbit_frames(
+                meshes, os.path.join(frames_root, f"{idx:05d}"),
+                camera_position=a.camera_position, n_frames=a.n_frames, **cam)
 
     def export(self, boxes, idx: int, output_directory: str):
         """Mesh files + retrieval manifest for one scene, like the
@@ -120,14 +188,18 @@ class SceneOutput:
         scripts/utils.py:257-291)."""
         if self.objects_dataset is None:
             return
-        from ..eval.retrieval import export_scene, merge_meshes, write_obj
+        from ..eval.retrieval import export_scene, merge_meshes, write_obj, write_ply
 
         self._write_manifest(boxes, os.path.join(output_directory, f"{idx:05d}"))
         meshes = self.retrieve(boxes)
         scene_dir = os.path.join(output_directory, "scene_mesh")
         os.makedirs(scene_dir, exist_ok=True)
-        write_obj(merge_meshes(meshes),
-                  os.path.join(scene_dir, f"{idx:05d}.obj"))
+        merged = merge_meshes(meshes)
+        if getattr(self.args, "mesh_format", ".obj") == ".ply":
+            # reference default format (generate_diffusion.py:157-162)
+            write_ply(merged, os.path.join(scene_dir, f"{idx:05d}.ply"))
+        else:
+            write_obj(merged, os.path.join(scene_dir, f"{idx:05d}.obj"))
         export_scene(os.path.join(scene_dir, f"{idx:05d}"), meshes)
 
     def _write_manifest(self, boxes, out_prefix: str):

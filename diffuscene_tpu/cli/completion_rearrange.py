@@ -50,6 +50,12 @@ def main(argv=None):
                         help="bbox IoU/intersection/symmetry stats per scene "
                         "(reference completion_rearrange.py:430-446 "
                         "iou_states.txt)")
+    parser.add_argument("--judge_mesh_intersec", action="store_true",
+                        help="with --compute_intersec and a retrieved catalog, "
+                        "count a positive box IoU only when the retrieved "
+                        "meshes' surfaces actually cross (Möller tri-tri, "
+                        "eval/mesh_intersect.py) — the reference's pyvista "
+                        "branch (scripts/utils.py:686-691)")
     from ._scene_output import add_scene_output_args
 
     # the reference's completion/rearrange script shares generate's mesh
@@ -178,6 +184,9 @@ def main(argv=None):
                 save_image(scene_out.render(boxes, idx),
                            os.path.join(args.output_directory, f"{idx:05d}.png"))
                 render_aux(inputs[i], input_name, idx)
+            # perspective + orbit-frame outputs (reference camera flags);
+            # no-op unless requested
+            scene_out.perspective_outputs(boxes, idx, args.output_directory)
             if args.render_gt:
                 render_aux(target[i], "groundtruth", idx)
             if args.save_mesh:
@@ -188,7 +197,17 @@ def main(argv=None):
                     np.asarray(boxes["sizes"]).reshape(-1, 3))
                 cls = np.asarray(boxes["class_labels"])
                 cls = cls[0] if cls.ndim == 3 else cls
-                n, pairs, avg_iou, avg_insec, ratio = compute_intersection(bb)
+                pair_fn = None
+                if args.judge_mesh_intersec:
+                    if scene_out.objects_dataset is None:
+                        raise SystemExit(
+                            "--judge_mesh_intersec needs a retrieved catalog "
+                            "(--path_to_pickled_3d_futute_models)")
+                    from ..eval.mesh_intersect import make_pair_intersects
+
+                    pair_fn = make_pair_intersects(scene_out.retrieve(boxes))
+                n, pairs, avg_iou, avg_insec, ratio = compute_intersection(
+                    bb, pair_intersects=pair_fn)
                 sym = compute_symmetry(bb, cls)
                 per_scene_stats.append((n, pairs, avg_iou, avg_insec, ratio, sym))
                 # running line per scene, reference iou_states.txt

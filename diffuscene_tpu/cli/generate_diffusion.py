@@ -36,6 +36,20 @@ def main(argv=None):
     parser.add_argument("--fused", action="store_true",
                         help="use the fused serving engine (models/inference.py)")
     parser.add_argument("--compute_intersec", action="store_true")
+    parser.add_argument("--judge_mesh_intersec", action="store_true",
+                        help="with --compute_intersec and a retrieved catalog, "
+                        "count a positive box IoU only when the retrieved "
+                        "meshes' surfaces actually cross (Möller tri-tri, "
+                        "eval/mesh_intersect.py) — the reference's pyvista "
+                        "branch (scripts/utils.py:686-691)")
+    parser.add_argument("--scene_id", default=None,
+                        help="condition every sequence on this named eval "
+                        "scene (its floor plan / text / room mask), like the "
+                        "reference (generate_diffusion.py:132-136,268-273)")
+    parser.add_argument("--fix_order", action="store_true",
+                        help="iterate the eval set in order (i %% len) instead "
+                        "of seeded-random scene choice "
+                        "(generate_diffusion.py:174-178,295-301)")
     parser.add_argument("--render", action="store_true", help="save top-down renders")
     from ._scene_output import add_scene_output_args
 
@@ -71,6 +85,7 @@ def main(argv=None):
     raw, eval_ds = get_dataset_raw_and_encoded(
         {**config["data"], "encoding_type": enc},
         augmentations=None, split=config["validation"].get("splits", ["test"]),
+        keep_room_layout=bool(config["network"].get("room_mask_condition", True)),
     )
     bounds_dev = eval_ds.bounds.as_device_bounds()
 
@@ -101,11 +116,34 @@ def main(argv=None):
     scene_out = SceneOutput(args, raw, seed=args.seed)
     objects_dataset = scene_out.objects_dataset
 
+    # conditioning-scene selection (generate_diffusion.py:268-273,294-301):
+    # --scene_id pins every sequence to one named eval scene, --fix_order
+    # walks the eval set in order, default draws seeded-random scenes (the
+    # reference uses unseeded np.random.choice; seeding keeps runs repeatable)
+    given_scene_id = None
+    if args.scene_id is not None:
+        ids = list(getattr(raw, "scene_ids", []))
+        if args.scene_id not in ids:
+            raise SystemExit(f"--scene_id {args.scene_id!r} not in the eval "
+                             f"split ({len(ids)} scenes)")
+        given_scene_id = ids.index(args.scene_id)
+        print(f"conditioning all sequences on scene {args.scene_id!r} "
+              f"(index {given_scene_id})")
+    idx_rng = np.random.default_rng(args.seed)
+
+    def cond_index(i: int) -> int:
+        if given_scene_id is not None:
+            return given_scene_id
+        if args.fix_order:
+            return i % len(eval_ds)
+        return int(idx_rng.integers(len(eval_ds)))
+
     # batched jitted sampling (vs generate_diffusion.py:294 batch-1 loop)
     @jax.jit
-    def sample_batch(params, key, text_emb=None):
+    def sample_batch(params, key, text_emb=None, room_layout=None):
         return scene.sample(params, key, batch_size=args.batch_size,
-                            text_emb=text_emb, clip_denoised=args.clip_denoised,
+                            text_emb=text_emb, room_layout=room_layout,
+                            clip_denoised=args.clip_denoised,
                             ddim=args.ddim, ddim_steps=args.ddim_steps,
                             dpm=args.dpm, dpm_steps=args.dpm_steps,
                             fused=args.fused)
@@ -125,18 +163,30 @@ def main(argv=None):
     key = jax.random.PRNGKey(args.seed)
     while n_done < args.n_sequences:
         key, sub = jax.random.split(key)
+        batch_indices = [cond_index(n_done + i) for i in range(args.batch_size)]
         text_emb = None
+        room_layout = None
         descriptions = []
-        if cfg.text_condition:
-            embs = []
-            for i in range(args.batch_size):
-                s = eval_ds[(n_done + i) % len(eval_ds)]
-                embs.append(np.asarray(s["desc_emb"], np.float32))
-                descriptions.append(s.get("description", ""))
-            text_emb = np.stack(embs)
+        if cfg.text_condition or cfg.room_mask_condition:
+            embs, masks = [], []
+            for idx in batch_indices:
+                s = eval_ds[idx]
+                if cfg.text_condition:
+                    embs.append(np.asarray(s["desc_emb"], np.float32))
+                    descriptions.append(s.get("description", ""))
+                if cfg.room_mask_condition:
+                    masks.append(np.asarray(s["room_layout"], np.float32))
+            if embs:
+                text_emb = np.stack(embs)
+            if masks:
+                # dataset room masks are CHW (1, H, W); feed the (B, 1, H, W)
+                # batch the room-feature extractor accepts (the reference
+                # feeds floor_plan_from_scene's room_mask at
+                # generate_diffusion.py:309-315)
+                room_layout = np.stack(masks)
         if trace_window is not None:
             trace_window.tick(n_batches)
-        samples = np.asarray(sample_batch(params, sub, text_emb))
+        samples = np.asarray(sample_batch(params, sub, text_emb, room_layout))
         n_batches += 1
         take = min(args.batch_size, args.n_sequences - n_done)
         per_scene = split_network_samples(scene.spec, samples[:take])
@@ -146,9 +196,15 @@ def main(argv=None):
             idx = n_done + i
             if args.render:
                 # mesh-accurate textured render when a catalog is loaded,
-                # oriented boxes otherwise (see _scene_output.SceneOutput)
-                save_image(scene_out.render(boxes, idx),
+                # oriented boxes otherwise (see _scene_output.SceneOutput);
+                # the floor plan comes from the scene that conditioned this
+                # sample (generate_diffusion.py:305-315)
+                save_image(scene_out.render(boxes, idx, floor_idx=batch_indices[i]),
                            os.path.join(args.output_directory, f"{idx:05d}.png"))
+            # perspective + orbit-frame outputs (reference camera flags,
+            # generate_diffusion.py:82-127); no-op unless requested
+            scene_out.perspective_outputs(boxes, idx, args.output_directory,
+                                          floor_idx=batch_indices[i])
             if descriptions:
                 # text dump next to the render (generate_diffusion.py writes
                 # the conditioning sentence per scene)
@@ -175,9 +231,31 @@ def main(argv=None):
             bb = scene_bboxes_from_params(
                 np.asarray(boxes["translations"]).reshape(-1, 3),
                 np.asarray(boxes["sizes"]).reshape(-1, 3))
-            n, pairs, avg_iou, avg_insec, ratio = compute_intersection(bb)
+            pair_fn = None
+            if args.judge_mesh_intersec:
+                if scene_out.objects_dataset is None:
+                    raise SystemExit("--judge_mesh_intersec needs a retrieved "
+                                     "catalog (--path_to_pickled_3d_futute_models)")
+                from ..eval.mesh_intersect import make_pair_intersects
+
+                # retrieval order matches the bb row order (both iterate the
+                # boxes dict rows), so indices line up
+                pair_fn = make_pair_intersects(scene_out.retrieve(boxes))
+            n, pairs, avg_iou, avg_insec, ratio = compute_intersection(
+                bb, pair_intersects=pair_fn)
             sym = compute_symmetry(bb, cls)
             per_scene_stats.append((n, pairs, avg_iou, avg_insec, ratio, sym))
+            # running line per scene, reference iou_states.txt
+            # (generate_diffusion.py:394-429)
+            arr = np.asarray(per_scene_stats, np.float64)
+            with open(os.path.join(args.output_directory, "iou_states.txt"), "a") as f:
+                f.write(
+                    f"num scenes: {len(arr)} - num objects avg: {arr[:, 0].mean():f}"
+                    f" - std: {arr[:, 0].std():f} - num pairs: {arr[:, 1].mean():f}"
+                    f" - box iou: {arr[:, 2].mean():f}"
+                    f" - box intersec: {arr[:, 3].mean():f}"
+                    f" - overlap ratio: {arr[:, 4].mean():f}"
+                    f" - total num symmetries: {int(arr[:, 5].sum())}\n")
     if class_freq_gen.sum() > 0:
         gt_freq = np.array([raw.class_frequencies[c] for c in raw.object_types], np.float64)
         gen_freq = class_freq_gen / class_freq_gen.sum()

@@ -75,18 +75,22 @@ def main(argv=None):
     os.makedirs(experiment_dir, exist_ok=True)
     save_experiment_params(args, experiment_tag, experiment_dir)
 
-    # datasets (train_diffusion.py:100-163)
+    # datasets (train_diffusion.py:100-163); room masks ride the batches only
+    # when the model conditions on them (diffusion_scene_layout_ddpm.py:27-33)
+    keep_rl = bool(config["network"].get("room_mask_condition", True))
     train_raw, train_ds = get_dataset_raw_and_encoded(
         config["data"],
         augmentations=config["data"].get("augmentations"),
         split=config["training"].get("splits", ["train", "val"]),
         seed=args.seed,
+        keep_room_layout=keep_rl,
     )
     val_ds = get_encoded_dataset(
         {**config["data"], "encoding_type": config["data"]["encoding_type"]},
         augmentations=None,
         split=config["validation"].get("splits", ["test"]),
         seed=args.seed,
+        keep_room_layout=keep_rl,
     )
     bounds = train_ds.bounds.as_device_bounds()
     save_bounds(experiment_dir, bounds)

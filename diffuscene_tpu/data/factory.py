@@ -46,6 +46,7 @@ def get_dataset_raw_and_encoded(
     split: Sequence[str] = ("train", "val"),
     max_length: Optional[int] = None,
     seed: int = 0,
+    keep_room_layout: bool = False,
 ) -> Tuple[CachedThreedFront, EncodedDataset]:
     raw = get_raw_dataset(config, split)
     ml = max_length if max_length is not None else _max_length_from_config(config, raw)
@@ -61,7 +62,7 @@ def get_dataset_raw_and_encoded(
         glove_path=config.get("glove_path", None),
         seed=seed,
     )
-    return raw, EncodedDataset(raw, encoding)
+    return raw, EncodedDataset(raw, encoding, keep_room_layout=keep_room_layout)
 
 
 def text_emb_dim_for_network(network: Dict) -> int:
@@ -88,6 +89,8 @@ def apply_text_emb_dim_default(config: Dict) -> Dict:
 
 
 def get_encoded_dataset(config: Dict, augmentations=None,
-                        split=("train", "val"), max_length=None, seed: int = 0) -> EncodedDataset:
-    _, enc = get_dataset_raw_and_encoded(config, augmentations, split, max_length, seed)
+                        split=("train", "val"), max_length=None, seed: int = 0,
+                        keep_room_layout: bool = False) -> EncodedDataset:
+    _, enc = get_dataset_raw_and_encoded(config, augmentations, split, max_length,
+                                         seed, keep_room_layout=keep_room_layout)
     return enc

@@ -327,3 +327,213 @@ def render_to_folder(boxes_list, output_directory: str, prefix: str = "",
                                       room_extent=room_extent)
         paths.append(p)
     return paths
+
+# --------------------------------------------------------------------------
+# Perspective / orbit rendering (the reference's qualitative-viz camera
+# surface: scripts/generate_diffusion.py:82-127 --up_vector/--camera_position/
+# --camera_target/--window_size/--with_rotating_camera/--save_frames/
+# --n_frames, rendered there with simple_3dviz; here a numpy perspective
+# rasterizer with the same texture/material handling as the top-down path).
+
+
+def _look_at(camera_position, camera_target, up_vector):
+    """Row-major world->camera rotation + eye, OpenGL-style (camera looks
+    down -z).  Returns (R (3,3), eye (3,))."""
+    eye = np.asarray(camera_position, np.float64)
+    fwd = np.asarray(camera_target, np.float64) - eye
+    n = np.linalg.norm(fwd)
+    fwd = fwd / (n if n > 1e-12 else 1.0)
+    up = np.asarray(up_vector, np.float64)
+    right = np.cross(fwd, up)
+    n = np.linalg.norm(right)
+    if n < 1e-12:  # up parallel to view direction: pick any perpendicular
+        up = np.array([0.0, 0.0, 1.0]) if abs(fwd[1]) > 0.9 else np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        n = np.linalg.norm(right)
+    right = right / n
+    true_up = np.cross(right, fwd)
+    R = np.stack([right, true_up, -fwd])  # rows: camera x, y, z axes
+    return R, eye
+
+
+def render_meshes_perspective(
+    meshes,  # Sequence[SceneMesh] in world units
+    camera_position=(-0.10923499, 1.9325259, -7.19009),
+    camera_target=(0.0, 0.0, 0.0),
+    up_vector=(0.0, 1.0, 0.0),
+    window_size=(512, 512),
+    fov_degrees: float = 45.0,
+    near: float = 0.1,
+    colors: Optional[np.ndarray] = None,
+    palette: Optional[Dict[str, np.ndarray]] = None,
+    background: tuple = (255, 255, 255),
+    use_textures: bool = True,
+    tex_cache: Optional[Dict[str, Optional[np.ndarray]]] = None,
+) -> np.ndarray:
+    """Rasterize scene meshes with a perspective pinhole camera.
+
+    Camera defaults mirror the reference CLI defaults
+    (generate_diffusion.py:88-110).  Per-pixel z-buffer on camera depth,
+    perspective-correct barycentric texture sampling, headlight lambert
+    shading (light at the camera, like the reference's ``scene.light =
+    camera_position``).  Faces with any vertex nearer than ``near`` are
+    skipped (no polygon clipping — cameras sit outside the furniture).
+    Returns (H, W, 3) uint8.
+    """
+    W, H = int(window_size[0]), int(window_size[1])
+    img = np.empty((H, W, 3), np.float32)
+    img[:] = background
+    zbuf = np.full((H, W), np.inf, np.float32)  # camera depth, closer wins
+    palette = palette if palette is not None else {}
+    R, eye = _look_at(camera_position, camera_target, up_vector)
+    f = (H / 2.0) / np.tan(np.radians(fov_degrees) / 2.0)
+    cx, cy = (W - 1) / 2.0, (H - 1) / 2.0
+
+    for mi, mesh in enumerate(meshes):
+        verts = np.asarray(mesh.vertices, np.float64)
+        faces = np.asarray(mesh.faces, np.int64)
+        if len(faces) == 0 or len(verts) == 0:
+            continue
+        if colors is not None:
+            base = np.asarray(colors[mi], np.float32)
+        elif getattr(mesh, "kd", None) is not None:
+            base = np.asarray(mesh.kd, np.float32) * 255.0
+        else:
+            base = _label_color(getattr(mesh, "label", "object"), palette
+                                ).astype(np.float32)
+        face_uvs = (np.asarray(mesh.face_uvs, np.float64)
+                    if getattr(mesh, "face_uvs", None) is not None else None)
+        slot_tex = [_load_texture(getattr(mesh, "texture_path", None),
+                                  tex_cache) if use_textures else None]
+        slot_base = [base]
+        face_slot = None
+        mats = getattr(mesh, "materials", None)
+        face_mats = getattr(mesh, "face_materials", None)
+        if mats is not None and face_mats is not None:
+            for m in mats:
+                slot_tex.append(_load_texture(m.get("map_kd"), tex_cache)
+                                if use_textures else None)
+                slot_base.append(np.asarray(m["kd"], np.float32) * 255.0
+                                 if m.get("kd") is not None and colors is None
+                                 else base)
+            face_slot = np.asarray(face_mats, np.int64) + 1
+        if face_uvs is None or not any(t is not None for t in slot_tex):
+            face_uvs = None
+
+        vc = (verts - eye) @ R.T  # camera space; depth = -vc[:, 2]
+        depth = -vc[:, 2]
+        u = f * vc[:, 0] / np.maximum(depth, 1e-9) + cx
+        v = -f * vc[:, 1] / np.maximum(depth, 1e-9) + cy
+        tri_u, tri_v, tri_d = u[faces], v[faces], depth[faces]
+
+        # headlight shading: |cos| between face normal and the eye ray
+        e1 = verts[faces[:, 1]] - verts[faces[:, 0]]
+        e2 = verts[faces[:, 2]] - verts[faces[:, 0]]
+        nrm = np.cross(e1, e2)
+        nlen = np.linalg.norm(nrm, axis=1)
+        to_eye = eye[None, :] - verts[faces[:, 0]]
+        elen = np.linalg.norm(to_eye, axis=1)
+        cosang = np.abs(np.einsum("fi,fi->f", nrm, to_eye)) / np.maximum(
+            nlen * elen, 1e-12)
+        shade = 0.35 + 0.65 * cosang  # (F,)
+
+        lo_u = np.maximum(np.floor(tri_u.min(1)).astype(int), 0)
+        hi_u = np.minimum(np.ceil(tri_u.max(1)).astype(int), W - 1)
+        lo_v = np.maximum(np.floor(tri_v.min(1)).astype(int), 0)
+        hi_v = np.minimum(np.ceil(tri_v.max(1)).astype(int), H - 1)
+        area = ((tri_u[:, 1] - tri_u[:, 0]) * (tri_v[:, 2] - tri_v[:, 0])
+                - (tri_u[:, 2] - tri_u[:, 0]) * (tri_v[:, 1] - tri_v[:, 0]))
+        ok = ((np.abs(area) > 1e-12) & (hi_u >= lo_u) & (hi_v >= lo_v)
+              & (tri_d > near).all(1))
+
+        inv_d = 1.0 / np.maximum(tri_d, 1e-9)  # (F, 3) for persp-correct interp
+        for fi in np.nonzero(ok)[0]:
+            uu = np.arange(lo_u[fi], hi_u[fi] + 1)
+            vv = np.arange(lo_v[fi], hi_v[fi] + 1)
+            pu = uu[None, :].astype(np.float64)
+            pv = vv[:, None].astype(np.float64)
+            u0, u1, u2 = tri_u[fi]
+            v0, v1, v2 = tri_v[fi]
+            inv = 1.0 / area[fi]
+            w0 = ((u1 - pu) * (v2 - pv) - (u2 - pu) * (v1 - pv)) * inv
+            w1 = ((u2 - pu) * (v0 - pv) - (u0 - pu) * (v2 - pv)) * inv
+            w2 = 1.0 - w0 - w1
+            inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+            if not inside.any():
+                continue
+            # perspective-correct depth: interpolate 1/d linearly in screen
+            pinv = w0 * inv_d[fi, 0] + w1 * inv_d[fi, 1] + w2 * inv_d[fi, 2]
+            pd = 1.0 / np.maximum(pinv, 1e-12)
+            sub = zbuf[lo_v[fi]:hi_v[fi] + 1, lo_u[fi]:hi_u[fi] + 1]
+            win = inside & (pd < sub)
+            if not win.any():
+                continue
+            sub[win] = pd[win]
+            si = int(face_slot[fi]) if face_slot is not None else 0
+            si = si if 0 <= si < len(slot_tex) else 0
+            tex = slot_tex[si]
+            fuv = face_uvs[fi] if face_uvs is not None else None
+            if tex is not None and fuv is not None and np.isfinite(fuv).all():
+                # perspective-correct UV: interpolate uv/d and renormalize
+                c0 = (w0 * inv_d[fi, 0])[win]
+                c1 = (w1 * inv_d[fi, 1])[win]
+                c2 = (w2 * inv_d[fi, 2])[win]
+                norm = np.maximum(c0 + c1 + c2, 1e-12)
+                tu = (c0 * fuv[0, 0] + c1 * fuv[1, 0] + c2 * fuv[2, 0]) / norm
+                tv = (c0 * fuv[0, 1] + c1 * fuv[1, 1] + c2 * fuv[2, 1]) / norm
+                tu = tu - np.floor(tu)
+                tv = tv - np.floor(tv)
+                th, tw = tex.shape[:2]
+                px = np.minimum((tu * tw).astype(np.int64), tw - 1)
+                pyi = np.minimum(((1.0 - tv) * th).astype(np.int64), th - 1)
+                color = tex[pyi, px]
+            else:
+                color = slot_base[si]
+            img[lo_v[fi]:hi_v[fi] + 1, lo_u[fi]:hi_u[fi] + 1][win] = (
+                color * shade[fi])
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def orbit_camera_positions(camera_position, camera_target, n_frames: int,
+                           up_vector=(0.0, 1.0, 0.0)) -> np.ndarray:
+    """(n_frames, 3) camera positions circling ``camera_target`` about the
+    up axis, starting at ``camera_position`` — the reference's rotating
+    camera (generate_diffusion.py:104-127 CameraTrajectory Circle, 360
+    frames by default)."""
+    eye = np.asarray(camera_position, np.float64)
+    target = np.asarray(camera_target, np.float64)
+    up = np.asarray(up_vector, np.float64)
+    up = up / np.maximum(np.linalg.norm(up), 1e-12)
+    rel = eye - target
+    out = []
+    for k in range(int(n_frames)):
+        a = 2.0 * np.pi * k / max(int(n_frames), 1)
+        c, s = np.cos(a), np.sin(a)
+        # Rodrigues rotation of rel about `up`
+        r = (rel * c + np.cross(up, rel) * s + up * np.dot(up, rel) * (1 - c))
+        out.append(target + r)
+    return np.stack(out)
+
+
+def render_orbit_frames(meshes, out_dir: str, prefix: str = "",
+                        camera_position=(-0.10923499, 1.9325259, -7.19009),
+                        camera_target=(0.0, 0.0, 0.0),
+                        up_vector=(0.0, 1.0, 0.0),
+                        window_size=(512, 512), n_frames: int = 360,
+                        **kwargs) -> list:
+    """Write ``n_frames`` orbit frames of one scene to ``out_dir``
+    (reference --with_rotating_camera + --save_frames + --n_frames,
+    generate_diffusion.py:104-127).  Returns the written paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    tex_cache: Dict[str, Optional[np.ndarray]] = {}
+    paths = []
+    for k, pos in enumerate(orbit_camera_positions(
+            camera_position, camera_target, n_frames, up_vector)):
+        img = render_meshes_perspective(
+            meshes, camera_position=pos, camera_target=camera_target,
+            up_vector=up_vector, window_size=window_size,
+            tex_cache=tex_cache, **kwargs)
+        p = os.path.join(out_dir, f"{prefix}{k:05d}.png")
+        save_image(img, p)
+        paths.append(p)
+    return paths

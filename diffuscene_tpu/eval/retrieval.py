@@ -292,3 +292,22 @@ def export_scene(output_directory: str, meshes: Sequence[SceneMesh],
         write_obj(m, p)
         paths.append(p)
     return paths
+
+
+def write_ply(mesh: SceneMesh, path: str) -> str:
+    """ASCII PLY mesh export (vertices + triangle faces, no materials) —
+    the reference's default --mesh_format .ply merged-scene export
+    (generate_diffusion.py:157-162,431-444 via trimesh)."""
+    v = np.asarray(mesh.vertices, np.float64)
+    f = np.asarray(mesh.faces, np.int64).reshape(-1, 3)
+    with open(path, "w") as fh:
+        fh.write("ply\nformat ascii 1.0\n")
+        fh.write(f"element vertex {len(v)}\n")
+        fh.write("property float x\nproperty float y\nproperty float z\n")
+        fh.write(f"element face {len(f)}\n")
+        fh.write("property list uchar int vertex_indices\nend_header\n")
+        for x, y, z in v:
+            fh.write(f"{x:.6f} {y:.6f} {z:.6f}\n")
+        for a, b, c in f:
+            fh.write(f"3 {a} {b} {c}\n")
+    return path

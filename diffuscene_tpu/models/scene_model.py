@@ -206,6 +206,12 @@ class ConditionNets(nn.Module):
         parts = []
 
         if cfg.room_mask_condition and room_feat is not None:
+            if cfg.latent_dim <= 0:
+                raise ValueError(
+                    "room_mask_condition=True needs network.latent_dim > 0 "
+                    "(the fc_room_f width, diffusion_scene_layout_ddpm.py:30); "
+                    "the Unet's net_kwargs context_dim must grow by the same "
+                    "amount so the condition vector fits")
             room_f = nn.Dense(cfg.latent_dim, name="fc_room_f")(room_feat)
             parts.append(jnp.broadcast_to(room_f[:, None, :], (batch_size, num_points, room_f.shape[-1])))
 

@@ -6,10 +6,16 @@ The reference generates scenes strictly one-at-a-time on one GPU
 split across chips, and the 1000-step scan runs in lockstep on every chip
 with zero inter-chip communication (sampling is embarrassingly parallel) —
 XLA inserts nothing but the initial shard scatter and final gather.
+
+All four task families shard the same way: unconditional / text-conditioned
+ancestral (or ddim/dpm) chains, RePaint-splice completion (``partial_boxes``)
+and rearrangement (``input_boxes``) — the conditioning tensors are
+batch-sharded alongside the state (diffusion_ddpm.py:447-506 loops,
+re-designed as lax.scans in diffusion/samplers.py).
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import numpy as np
@@ -29,7 +35,7 @@ class ShardedSampler:
         self.n_data = self.mesh.shape["data"]
         self._rep = replicated(self.mesh)
         self._bsh = batch_sharding(self.mesh)
-        self._fns: Dict[int, callable] = {}
+        self._fns: Dict[Tuple, callable] = {}
         self.clip_denoised = clip_denoised
         self.ddim = ddim
         self.ddim_steps = ddim_steps
@@ -37,12 +43,15 @@ class ShardedSampler:
         self.dpm_steps = dpm_steps
         self.fused = fused
 
-    def _fn(self, batch_size: int):
-        fn = self._fns.get(batch_size)
+    def _fn(self, batch_size: int, has_text: bool, has_partial: bool,
+            has_arrange: bool):
+        key = (batch_size, has_text, has_partial, has_arrange)
+        fn = self._fns.get(key)
         if fn is None:
-            def sample(params, key, text_emb):
+            def sample(params, rng, text_emb, partial_boxes, input_boxes):
                 return self.scene.sample(
-                    params, key, batch_size=batch_size, text_emb=text_emb,
+                    params, rng, batch_size=batch_size, text_emb=text_emb,
+                    partial_boxes=partial_boxes, input_boxes=input_boxes,
                     clip_denoised=self.clip_denoised,
                     ddim=self.ddim, ddim_steps=self.ddim_steps,
                     dpm=self.dpm, dpm_steps=self.dpm_steps, fused=self.fused,
@@ -50,25 +59,42 @@ class ShardedSampler:
 
             fn = jax.jit(
                 sample,
-                in_shardings=(self._rep, self._rep, self._bsh if self.scene.cfg.text_condition else None),
+                in_shardings=(
+                    self._rep, self._rep,
+                    self._bsh if has_text else None,
+                    self._bsh if has_partial else None,
+                    self._bsh if has_arrange else None,
+                ),
                 out_shardings=self._bsh,
                 static_argnums=(),
             )
-            self._fns[batch_size] = fn
+            self._fns[key] = fn
         return fn
 
     def put_params(self, params):
         return jax.device_put(params, self._rep)
 
     def sample(self, params, key: jax.Array, batch_size: int,
-               text_emb: Optional[np.ndarray] = None) -> np.ndarray:
+               text_emb: Optional[np.ndarray] = None,
+               partial_boxes: Optional[np.ndarray] = None,
+               input_boxes: Optional[np.ndarray] = None) -> np.ndarray:
         """Sample ``batch_size`` scenes sharded over the mesh.
 
         batch_size must be a multiple of the mesh 'data' axis; the caller
-        rounds up and trims.
+        rounds up and trims.  ``partial_boxes`` runs the RePaint completion
+        splice, ``input_boxes`` the rearrangement splice (both ancestral-only,
+        see SceneDiffusion.sample).
         """
         assert batch_size % self.n_data == 0, (batch_size, self.n_data)
         if text_emb is not None:
             text_emb = jax.device_put(np.asarray(text_emb, np.float32), self._bsh)
-        out = self._fn(batch_size)(params, key, text_emb)
+        if partial_boxes is not None:
+            partial_boxes = jax.device_put(
+                np.asarray(partial_boxes, np.float32), self._bsh)
+        if input_boxes is not None:
+            input_boxes = jax.device_put(
+                np.asarray(input_boxes, np.float32), self._bsh)
+        fn = self._fn(batch_size, text_emb is not None,
+                      partial_boxes is not None, input_boxes is not None)
+        out = fn(params, key, text_emb, partial_boxes, input_boxes)
         return np.asarray(out)

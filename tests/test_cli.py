@@ -171,7 +171,10 @@ def test_generate_cli_mesh_renders(synth_config):
     gen_dir = os.path.join(root, "generated_mesh")
     main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "2",
           "--batch_size", "8", "--render",
+          "--compute_intersec", "--judge_mesh_intersec",
           "--path_to_pickled_3d_futute_models", pkl])
+    # mesh-verified intersection stats were produced (exact Möller backend)
+    assert os.path.isfile(os.path.join(gen_dir, "iou_states.txt"))
     pngs = sorted(f for f in os.listdir(gen_dir) if f.endswith(".png"))
     assert len(pngs) == 2
     img = np.asarray(Image.open(os.path.join(gen_dir, pngs[0])))
@@ -226,11 +229,20 @@ def test_generate_cli_textured_renders(synth_config):
     gen_dir = os.path.join(root, "generated_textured")
     main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "1",
           "--batch_size", "8", "--render", "--save_mesh",
+          "--render_perspective", "--with_rotating_camera", "--n_frames", "3",
+          "--window_size", "64,64",
           "--path_to_pickled_3d_futute_models", pkl,
           "--path_to_floor_plan_textures", floor_dir])
     img = np.asarray(Image.open(os.path.join(gen_dir, "00000.png")))
     # horizontal top faces have shade 1.0 -> exact magenta texels
     assert (img == [255, 0, 255]).all(-1).any()
+    # perspective render + orbit frames (reference camera surface,
+    # generate_diffusion.py:82-127)
+    persp = np.asarray(Image.open(os.path.join(gen_dir, "00000_persp.png")))
+    assert persp.shape == (64, 64, 3)
+    assert (persp != 255).any()  # something visible from the default camera
+    frames = os.listdir(os.path.join(gen_dir, "frames", "00000"))
+    assert len(frames) == 3
 
     # --save_mesh writes the merged scene OBJ plus per-object textured
     # OBJ/MTL/texture triples (reference generate_diffusion.py:431-444 +
@@ -250,9 +262,13 @@ def test_generate_cli_textured_renders(synth_config):
     flat_dir = os.path.join(root, "generated_flat")
     main([cfg_path, flat_dir, "--weight_file", exp, "--n_sequences", "1",
           "--batch_size", "8", "--render", "--no_texture", "--without_floor",
+          "--save_mesh", "--mesh_format", ".ply",
           "--path_to_pickled_3d_futute_models", pkl])
     img2 = np.asarray(Image.open(os.path.join(flat_dir, "00000.png")))
     assert not (img2 == [255, 0, 255]).all(-1).any()
+    # --mesh_format .ply writes the merged scene as PLY (reference default,
+    # generate_diffusion.py:157-162)
+    assert os.path.isfile(os.path.join(flat_dir, "scene_mesh", "00000.ply"))
 
 
 def test_completion_cli(synth_config):
@@ -427,3 +443,78 @@ def test_text_cli_end_to_end(tmp_path):
     txts = [f for f in os.listdir(gen_dir) if f.endswith(".txt")]
     assert len(txts) == 2, txts
     assert open(os.path.join(gen_dir, txts[0])).read().strip()
+
+
+def test_generate_cli_scene_id_deterministic(synth_config):
+    """--scene_id regenerates a NAMED eval scene deterministically: two runs
+    with the same seed produce byte-identical per-scene iou_states.txt
+    (reference scene-targeted generation, generate_diffusion.py:132-136,
+    268-273); an unknown id fails loudly.  --fix_order walks the eval set in
+    order (generate_diffusion.py:174-178,295-301)."""
+    from diffuscene_tpu.cli.generate_diffusion import main
+
+    cfg_path, root = synth_config
+    exp = os.path.join(root, "out", "e2e")
+    sid = f"{N_SCENES - 1:08x}-0000-0000-0000-000000000000"  # last scene = test split
+
+    outs = []
+    for run in ("a", "b"):
+        gen_dir = os.path.join(root, f"generated_sid_{run}")
+        main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "2",
+              "--batch_size", "8", "--seed", "7", "--scene_id", sid,
+              "--compute_intersec"])
+        with open(os.path.join(gen_dir, "iou_states.txt")) as f:
+            outs.append(f.read())
+    assert outs[0] == outs[1]
+    assert len(outs[0].strip().splitlines()) == 2  # one running line per scene
+
+    gen_dir = os.path.join(root, "generated_fix_order")
+    main([cfg_path, gen_dir, "--weight_file", exp, "--n_sequences", "2",
+          "--batch_size", "8", "--fix_order"])
+    with open(os.path.join(gen_dir, "metrics.json")) as f:
+        assert json.load(f)["n_scenes"] == 2
+
+    with pytest.raises(SystemExit):
+        main([cfg_path, os.path.join(root, "generated_bogus"), "--weight_file",
+              exp, "--n_sequences", "1", "--batch_size", "8",
+              "--scene_id", "no-such-scene"])
+
+
+def test_room_mask_cli_train_generate(synth_config, tmp_path):
+    """A room-mask-conditioned model trains AND generates through the CLIs:
+    the generate CLI feeds each conditioning scene's room mask into sampling
+    (reference generate_diffusion.py:309-315), so two different --scene_id
+    conditions yield different samples from the same seed."""
+    import yaml as _yaml
+
+    from diffuscene_tpu.cli.generate_diffusion import main as gen_main
+    from diffuscene_tpu.cli.train_diffusion import main as train_main
+
+    cfg_path, root = synth_config
+    with open(cfg_path) as f:
+        cfg = _yaml.safe_load(f)
+    cfg["network"]["room_mask_condition"] = True
+    cfg["network"]["latent_dim"] = 64  # fc_room_f width
+    cfg["network"]["net_kwargs"]["context_dim"] = 64  # room feat joins the condition
+    cfg["training"]["epochs"] = 1
+    rm_cfg = str(tmp_path / "room_mask_config.yaml")
+    with open(rm_cfg, "w") as f:
+        _yaml.safe_dump(cfg, f)
+
+    out = str(tmp_path / "out")
+    train_main([rm_cfg, out, "--experiment_tag", "rm", "--seed", "0"])
+    exp = os.path.join(out, "rm")
+    assert any(d.startswith("model_") for d in os.listdir(exp))
+
+    sids = [f"{N_SCENES - 1:08x}-0000-0000-0000-000000000000",
+            f"{N_SCENES - 2:08x}-0000-0000-0000-000000000000"]
+    iou = []
+    for sid in sids:
+        gen_dir = str(tmp_path / f"gen_{sid[:8]}")
+        gen_main([rm_cfg, gen_dir, "--weight_file", exp, "--n_sequences", "2",
+                  "--batch_size", "8", "--seed", "3", "--scene_id", sid,
+                  "--compute_intersec"])
+        with open(os.path.join(gen_dir, "iou_states.txt")) as f:
+            iou.append(f.read())
+    # same seed, different room-mask condition -> different scenes
+    assert iou[0] != iou[1]
