@@ -46,6 +46,15 @@ def add_scene_output_args(parser):
     # perspective rasterizer).  --render stays top-down orthographic (the
     # metric-comparable view); these add the qualitative-viz surface.
     csv_floats = lambda s: tuple(float(x) for x in s.split(","))
+    parser.add_argument("--background", type=csv_floats, default=(1.0, 1.0, 1.0, 1.0),
+                        help="render background RGBA in [0,1] (the reference "
+                        "parses this flag but hardcodes white/black by "
+                        "--no_texture, generate_diffusion.py:82,253-255; the "
+                        "native rasterizers honor it)")
+    parser.add_argument("--without_screen", action="store_true",
+                        help="accepted for reference drop-in compatibility "
+                        "(generate_diffusion.py:127); the native rasterizer "
+                        "is always offscreen")
     parser.add_argument("--render_perspective", action="store_true",
                         help="also save a perspective render per scene "
                         "(*_persp.png) using the camera flags below")
@@ -75,6 +84,9 @@ class SceneOutput:
     def __init__(self, args, raw, seed: int = 0):
         self.args = args
         self.raw = raw
+        bg = getattr(args, "background", (1.0, 1.0, 1.0, 1.0)) or (1.0, 1.0, 1.0, 1.0)
+        self.background = tuple(
+            min(255, max(0, int(round(255 * c)))) for c in bg[:3])
         self.floor_rng = np.random.default_rng(seed)
         self.objects_dataset = None
         if getattr(args, "path_to_pickled_3d_futute_models", None):
@@ -149,6 +161,7 @@ class SceneOutput:
 
         meshes, colors = self._scene_meshes(boxes, idx, floor_idx)
         return render_meshes_topdown(meshes, colors=colors,
+                                     background=self.background,
                                      use_textures=not self.args.no_texture)
 
     def perspective_outputs(self, boxes, idx: int, output_directory: str,
@@ -170,6 +183,7 @@ class SceneOutput:
         cam = dict(camera_position=a.camera_position,
                    camera_target=a.camera_target, up_vector=a.up_vector,
                    window_size=a.window_size, colors=colors,
+                   background=self.background,
                    use_textures=not a.no_texture)
         if getattr(a, "render_perspective", False):
             save_image(render_meshes_perspective(meshes, **cam),

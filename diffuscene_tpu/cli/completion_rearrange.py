@@ -33,9 +33,22 @@ def main(argv=None):
     parser.add_argument("--n_sequences", type=int, default=10)
     parser.add_argument("--batch_size", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--scene_id", default=None,
+                        help="complete/arrange this named eval scene in every "
+                        "sequence instead of walking the eval split "
+                        "(reference completion_rearrange.py:117,264-268); "
+                        "rearrange noise is then seeded by the scene index "
+                        "like the reference (:319-322)")
+    parser.add_argument("--scene_texture", action="store_true",
+                        help="accepted for reference drop-in compatibility "
+                        "(completion_rearrange.py:171 parses it but never "
+                        "uses it); textures are controlled by --no_texture")
     parser.add_argument("--clip_denoised", action="store_true")
     parser.add_argument("--fused", action="store_true",
                         help="use the fused serving engine (models/inference.py)")
+    parser.add_argument("--render_top2down", dest="render", action="store_true",
+                        help="alias for --render (the reference's flag name, "
+                        "completion_rearrange.py:123)")
     parser.add_argument("--render", action="store_true",
                         help="render results; also renders the input scenes "
                         "into partial/ (completion) or noisy/ (rearrange), "
@@ -116,7 +129,21 @@ def main(argv=None):
     from ._scene_output import SceneOutput
 
     scene_out = SceneOutput(args, raw, seed=args.seed)
-    rng = np.random.default_rng(args.seed)
+    # --scene_id pins every sequence to one named eval scene; the reference
+    # then seeds the rearrange noise with the scene index so repeated runs
+    # perturb the same scene identically (completion_rearrange.py:264-268,
+    # 312-322)
+    given_scene_id = None
+    if args.scene_id is not None:
+        ids = list(getattr(raw, "scene_ids", []))
+        if args.scene_id not in ids:
+            raise SystemExit(f"--scene_id {args.scene_id!r} not in the eval "
+                             f"split ({len(ids)} scenes)")
+        given_scene_id = ids.index(args.scene_id)
+        print(f"using scene {args.scene_id!r} (index {given_scene_id}) "
+              f"for every sequence")
+    rng = np.random.default_rng(
+        args.seed if given_scene_id is None else given_scene_id)
     key = jax.random.PRNGKey(args.seed)
 
     @jax.jit
@@ -134,7 +161,10 @@ def main(argv=None):
     n_done = 0
     per_scene_stats = []
     while n_done < args.n_sequences:
-        idxs = [(n_done + i) % len(eval_ds) for i in range(args.batch_size)]
+        if given_scene_id is not None:
+            idxs = [given_scene_id] * args.batch_size
+        else:
+            idxs = [(n_done + i) % len(eval_ds) for i in range(args.batch_size)]
         batch = [eval_ds[i] for i in idxs]
         target = np.stack([
             np.concatenate(

@@ -13,8 +13,19 @@ import json
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Compute FID/KID between render folders")
-    parser.add_argument("path_to_real_renderings")
+    parser.add_argument("path_to_real_renderings",
+                        help="flat folder of real render images, or (with the "
+                        "path_to_annotations positional) a preprocessed "
+                        "cached-dataset directory whose per-scene renders "
+                        "form the real set")
     parser.add_argument("path_to_synthesized_renderings")
+    parser.add_argument("path_to_annotations", nargs="?", default=None,
+                        help="scene_id,split CSV; when given, the real set is "
+                        "the cached dataset's train+val renders like the "
+                        "reference (compute_fid_scores.py:67-83)")
+    parser.add_argument("--compare_all", action="store_true",
+                        help="with annotations, include the test split in the "
+                        "real set too (compute_fid_scores.py:59,72-77)")
     parser.add_argument("--features", choices=["pixel", "inception"],
                         default="inception",
                         help="'inception' (default) needs --inception_weights "
@@ -32,7 +43,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     from ..eval.fid import (
-        JaxInceptionFeatures, PixelFeatures, compute_fid_folders, compute_kid_folders,
+        JaxInceptionFeatures, PixelFeatures, fid_from_features, kid_from_features,
+        load_image_folder, load_image_paths,
     )
 
     # "comparable" = the canonical Inception FID-network feature space
@@ -50,11 +62,31 @@ def main(argv=None):
         print("WARNING: pixel features are not comparable to published "
               "Inception-FID numbers; pass --features inception with local weights")
 
-    fid = compute_fid_folders(args.path_to_real_renderings,
-                              args.path_to_synthesized_renderings, fn)
-    kid = compute_kid_folders(args.path_to_real_renderings,
-                              args.path_to_synthesized_renderings, fn,
-                              subset_size=args.kid_subset_size)
+    if args.path_to_annotations:
+        # real set = split-selected renders of a preprocessed cached dataset
+        # (compute_fid_scores.py:67-83); --compare_all adds the test split
+        from ..data.splits import CSVSplitsBuilder
+        from ..data.threed_front import CachedThreedFront
+
+        splits = (["train", "val", "test"] if args.compare_all
+                  else ["train", "val"])
+        ids = CSVSplitsBuilder(args.path_to_annotations).get_splits(splits)
+        ds = CachedThreedFront(args.path_to_real_renderings,
+                               config={"train_stats": "dataset_stats.txt"},
+                               scene_ids=ids)
+        paths = [p for p in ds._path_to_renders if p]
+        if not paths:
+            raise SystemExit(f"no renders found for splits {splits} under "
+                             f"{args.path_to_real_renderings}")
+        print(f"real set: {len(paths)} renders from splits {splits}")
+        real = load_image_paths(paths)
+    else:
+        real = load_image_folder(args.path_to_real_renderings)
+    fake = load_image_folder(args.path_to_synthesized_renderings)
+    real_feats, fake_feats = fn(real), fn(fake)
+    fid = fid_from_features(real_feats, fake_feats)
+    kid = kid_from_features(real_feats, fake_feats,
+                            subset_size=args.kid_subset_size)
     print(json.dumps({"fid": fid, "kid": kid, "features": args.features,
                       "comparable": comparable}))
 

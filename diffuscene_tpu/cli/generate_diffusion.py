@@ -51,6 +51,9 @@ def main(argv=None):
                         "of seeded-random scene choice "
                         "(generate_diffusion.py:174-178,295-301)")
     parser.add_argument("--render", action="store_true", help="save top-down renders")
+    parser.add_argument("--render_top2down", dest="render", action="store_true",
+                        help="alias for --render (the reference's flag name, "
+                        "generate_diffusion.py:137)")
     from ._scene_output import add_scene_output_args
 
     add_scene_output_args(parser)

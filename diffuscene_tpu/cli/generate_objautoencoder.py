@@ -23,6 +23,22 @@ def main(argv=None):
                         help="write latents here instead of next to the models")
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--weight_file", default=None,
+                        help="load weights from a specific torch .pt/.pth "
+                        "state_dict (converted) instead of the newest "
+                        "checkpoint in weight_dir (reference "
+                        "generate_objautoencoder.py:40,161-164)")
+    parser.add_argument("--experiment_tag", default=None,
+                        help="accepted for reference drop-in compatibility "
+                        "(generate_objautoencoder.py:33); outputs are "
+                        "addressed by weight_dir here")
+    parser.add_argument("--continue_from_epoch", type=int, default=0,
+                        help="accepted for reference drop-in compatibility "
+                        "(generate_objautoencoder.py:46 parses it; unused in "
+                        "generation)")
+    parser.add_argument("--n_processes", type=int, default=0,
+                        help="accepted for reference drop-in compatibility "
+                        "(DataLoader workers there)")
     parser.add_argument("--num_samples", type=int, default=None,
                         help="points fed to the encoder per object (default: "
                         "dataset's, i.e. 2048)")
@@ -52,9 +68,18 @@ def main(argv=None):
                           kl_weight=float(net_cfg.get("kl_weight", 0.001)))
     trainer = AETrainer(model, config["training"], n_points=n_points)
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
-    state, epoch = load_checkpoint(state, args.weight_dir)
-    assert epoch is not None, f"no checkpoints under {args.weight_dir}"
-    print(f"loaded epoch {epoch}")
+    if args.weight_file and args.weight_file.endswith((".pt", ".pth")):
+        from ..utils import convert_autoencoder, load_torch_checkpoint
+
+        variables = convert_autoencoder(load_torch_checkpoint(args.weight_file))
+        state = state.replace(params=variables["params"],
+                              batch_stats=variables["batch_stats"])
+        print(f"loaded torch weights from {args.weight_file}")
+    else:
+        state, epoch = load_checkpoint(state, args.weight_file or args.weight_dir)
+        assert epoch is not None, \
+            f"no checkpoints under {args.weight_file or args.weight_dir}"
+        print(f"loaded epoch {epoch}")
 
     lats = []
     for start in range(0, len(dataset), args.batch_size):

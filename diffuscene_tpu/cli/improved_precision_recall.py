@@ -27,6 +27,12 @@ def main(argv=None):
     parser.add_argument("--vgg_weights", default=None,
                         help="torchvision vgg16 state_dict (.pth) or .npz")
     parser.add_argument("--inception_weights", default=None)
+    parser.add_argument("--fname_precalc", default="",
+                        help="extract real-manifold features, save them to "
+                        "this .npz, and exit (path_to_synthesized_renderings "
+                        "is ignored) — the reference's precalc mode "
+                        "(improved_precision_recall.py:381,463-467); pass the "
+                        ".npz as path_to_real_renderings later to reuse it")
     parser.add_argument("--realism", action="store_true",
                         help="also report per-sample realism scores of the "
                         "synthesized set vs the real manifold "
@@ -74,8 +80,24 @@ def main(argv=None):
     from ..eval.ipr import subsample_features
 
     rng = np.random.default_rng(0)
-    real_feats = subsample_features(
-        fn(load_image_folder(args.path_to_real_renderings)), args.num_samples, rng)
+    if args.path_to_real_renderings.endswith(".npz"):
+        # precalculated real manifold (reference path_real .npz input,
+        # improved_precision_recall.py:106)
+        from ..eval.ipr import load_manifold
+
+        real_feats, _, _ = load_manifold(args.path_to_real_renderings)
+        real_feats = subsample_features(real_feats, args.num_samples, rng)
+    else:
+        real_feats = subsample_features(
+            fn(load_image_folder(args.path_to_real_renderings)), args.num_samples, rng)
+    if args.fname_precalc:
+        from ..eval.ipr import save_manifold
+
+        save_manifold(args.fname_precalc, real_feats, k=args.k)
+        print(f"saved real manifold ({len(real_feats)} samples) to "
+              f"{args.fname_precalc}; path_fake "
+              f"({args.path_to_synthesized_renderings}) ignored for precalc")
+        return
     fake_feats = subsample_features(
         fn(load_image_folder(args.path_to_synthesized_renderings)), args.num_samples, rng)
     pr = compute_precision_recall(real_feats, fake_feats, k=args.k, num_samples=None)

@@ -23,6 +23,9 @@ def main(argv=None):
                                  "threed_front_diningroom", "threed_front_library"])
     parser.add_argument("--path_to_invalid_scene_ids", default=None)
     parser.add_argument("--path_to_invalid_bbox_jids", default=None)
+    parser.add_argument("--without_lamps", action="store_true",
+                        help="exclude ceiling/pendant lamps from the scene "
+                        "filter (pickle_threed_fucture_dataset.py:69-72)")
     args = parser.parse_args(argv)
 
     from ..data.filters import filter_function
@@ -38,7 +41,8 @@ def main(argv=None):
     scenes = ThreedFront.from_dataset_directory(
         args.path_to_3d_front_dataset_directory, args.path_to_model_info,
         args.path_to_3d_future_dataset_directory,
-        filter_fn=filter_function(filter_cfg, ["train", "val", "test"]),
+        filter_fn=filter_function(filter_cfg, ["train", "val", "test"],
+                                  args.without_lamps),
     )
     # dedupe objects by jid (pickle_threed_fucture_dataset.py:75-90)
     seen, objects = set(), []

@@ -54,12 +54,15 @@ class DirLock:
         self.release()
 
 
-def render_room_mask(room, size: int = 512) -> np.ndarray:
+def render_room_mask(room, size: int = 512, extent: float = None) -> np.ndarray:
     """Binary floor-plan occupancy mask rendered top-down (replaces the
-    simple_3dviz ortho render at preprocess_data.py:249-255)."""
+    simple_3dviz ortho render at preprocess_data.py:249-255).  ``extent``
+    is the world half-side of the ortho view (--room_side); default keeps
+    the per-room-type heuristic."""
     vertices, faces = room.floor_plan
     vertices = vertices - room.floor_plan_centroid
-    extent = 3.1 if "bed" in room.scene_type else 6.2
+    if extent is None:
+        extent = 3.1 if "bed" in room.scene_type else 6.2
     img = np.zeros((size, size), np.uint8)
     scale = size / (2 * extent)
     for tri in faces:
@@ -102,11 +105,54 @@ def main(argv=None):
     parser.add_argument("--without_lamps", action="store_true")
     parser.add_argument("--add_objfeats", action="store_true")
     parser.add_argument("--room_mask_size", type=int, default=512)
+    parser.add_argument("--room_side", type=float, default=None,
+                        help="world half-side of the top-down ortho views "
+                        "(reference preprocess_data.py:70 parses 3.1 but "
+                        "never uses it; here it overrides the per-room-type "
+                        "default of 3.1 bedrooms / 6.2 otherwise)")
+    parser.add_argument("--background", type=lambda s: tuple(
+        float(x) for x in s.split(",")), default=None,
+                        help="accepted for reference drop-in compatibility "
+                        "(preprocess_data.py:98 parses it but never uses it)")
+    csv_floats = lambda s: tuple(float(x) for x in s.split(","))
+    parser.add_argument("--window_size", type=lambda s: tuple(
+        int(x) for x in s.split(",")), default=(256, 256),
+                        help="scene render size; also names the output file "
+                        "rendered_scene_<W>.png (preprocess_data.py:116,"
+                        "299-323)")
+    parser.add_argument("--no_texture", action="store_true",
+                        help="render flat class colors and write "
+                        "rendered_scene_notexture_<W>.png "
+                        "(preprocess_data.py:122,297-317)")
+    parser.add_argument("--without_floor", action="store_true",
+                        help="omit the floor plan from scene renders "
+                        "(preprocess_data.py:127,335-341)")
+    parser.add_argument("--path_to_floor_plan_textures", default=None,
+                        help="directory of floor texture images "
+                        "(preprocess_data.py:50)")
+    parser.add_argument("--up_vector", type=csv_floats, default=(0.0, 0.0, -1.0),
+                        help="accepted for reference drop-in compatibility "
+                        "(preprocess_data.py:92); the native rasterizer is "
+                        "fixed top-down orthographic, which is the "
+                        "reference's default camera")
+    parser.add_argument("--camera_target", type=csv_floats, default=(0.0, 0.0, 0.0),
+                        help="accepted for compatibility (see --up_vector)")
+    parser.add_argument("--camera_position", type=csv_floats, default=(0.0, 4.0, 0.0),
+                        help="accepted for compatibility (see --up_vector)")
     args = parser.parse_args(argv)
 
     from ..data.filters import filter_function
     from ..data.raw import ThreedFront
-    from ..eval.render import render_topdown, save_image
+    from ..eval.render import class_colors, render_meshes_topdown, render_topdown, save_image
+    from ..eval.retrieval import floor_plan_from_scene, scene_meshes_from_room
+
+    floor_textures = []
+    if args.path_to_floor_plan_textures and os.path.isdir(args.path_to_floor_plan_textures):
+        floor_textures = sorted(
+            os.path.join(args.path_to_floor_plan_textures, f)
+            for f in os.listdir(args.path_to_floor_plan_textures)
+            if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    floor_rng = np.random.default_rng(0)
 
     os.makedirs(args.output_directory, exist_ok=True)
 
@@ -154,7 +200,8 @@ def main(argv=None):
             if os.path.exists(os.path.join(room_dir, "boxes.npz")):
                 continue
             os.makedirs(room_dir, exist_ok=True)
-            mask = render_room_mask(room, args.room_mask_size)
+            mask = render_room_mask(room, args.room_mask_size,
+                                    extent=args.room_side)
             save_image(np.repeat(mask[:, :, None], 3, -1),
                        os.path.join(room_dir, "room_mask.png"))
             classes, translations, sizes, angles = [], [], [], []
@@ -183,12 +230,36 @@ def main(argv=None):
                 arrays["objfeats"] = np.asarray(objfeats, np.float32)
                 arrays["objfeats_32"] = np.asarray(objfeats_32, np.float32)
             np.savez_compressed(os.path.join(room_dir, "boxes.npz"), **arrays)
-            render = render_topdown(
-                arrays["translations"], arrays["sizes"], arrays["angles"],
-                arrays["class_labels"], image_size=256,
-                floor_mask=mask[:, :, None],
-            )
-            save_image(render, os.path.join(room_dir, "rendered_scene_256.png"))
+            # scene render (preprocess_data.py:297-350): textured meshes of
+            # the room's own furniture when their OBJ files load, flat class
+            # colors under --no_texture; box rasterization as the fallback
+            size = int(args.window_size[0])
+            render_name = (f"rendered_scene_notexture_{size}.png"
+                           if args.no_texture else f"rendered_scene_{size}.png")
+            extent = args.room_side or (3.1 if "bed" in room.scene_type else 6.2)
+            try:
+                meshes = scene_meshes_from_room(room, ignore_lamps=args.without_lamps)
+                pal = class_colors(len(class_labels))
+                colors = pal[[np.argmax(c) for c in classes]]
+                if args.without_lamps:
+                    keep = [i for i, f in enumerate(room.bboxes)
+                            if f.label not in ("ceiling_lamp", "pendant_lamp")]
+                    colors = colors[keep]
+                if not args.without_floor:
+                    floor = floor_plan_from_scene(room, floor_textures, rng=floor_rng)
+                    meshes = [floor] + meshes
+                    colors = np.concatenate(
+                        [np.array([[230, 230, 230]], np.uint8), colors])
+                render = render_meshes_topdown(
+                    meshes, image_size=size, room_extent=extent, colors=colors,
+                    use_textures=not args.no_texture)
+            except (OSError, ValueError):
+                render = render_topdown(
+                    arrays["translations"], arrays["sizes"], arrays["angles"],
+                    arrays["class_labels"], image_size=size, room_extent=extent,
+                    floor_mask=mask[:, :, None],
+                )
+            save_image(render, os.path.join(room_dir, render_name))
     print(f"cached {len(dataset)} rooms under {args.output_directory}")
 
 

@@ -21,6 +21,17 @@ def main(argv=None):
     parser.add_argument("output_directory", help="Where to save checkpoints/logs")
     parser.add_argument("--experiment_tag", default=None)
     parser.add_argument("--continue_from_epoch", type=int, default=0)
+    parser.add_argument("--weight_file", default=None,
+                        help="warm-start the model weights before training "
+                        "(reference train_diffusion.py:41,181): a torch "
+                        ".pt/.pth state_dict (converted) or an experiment dir "
+                        "with model_* checkpoints (params + EMA only; the "
+                        "optimizer starts fresh, like the reference)")
+    parser.add_argument("--n_processes", type=int, default=0,
+                        help="accepted for reference drop-in compatibility "
+                        "(DataLoader workers there, train_diffusion.py:53); "
+                        "host batching here is a prefetch thread + the "
+                        "optional C++ --native_loader")
     parser.add_argument("--seed", type=int, default=27)
     parser.add_argument("--epochs", type=int, default=None, help="override config epochs")
     parser.add_argument("--with_wandb_logger", action="store_true")
@@ -123,6 +134,22 @@ def main(argv=None):
     trainer = Trainer(scene, config["training"], steps_per_epoch=steps_per_epoch,
                       mixed_precision=args.mixed_precision)
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
+
+    # warm start (train_diffusion.py:181 loads --weight_file into the net
+    # before the epoch loop; optimizer state starts fresh either way)
+    if args.weight_file:
+        if args.weight_file.endswith((".pt", ".pth")):
+            from ..utils import convert_scene_model, load_torch_checkpoint
+
+            state = state.replace(
+                params=convert_scene_model(load_torch_checkpoint(args.weight_file)))
+        else:
+            warm, warm_epoch = load_checkpoint(state, args.weight_file)
+            assert warm_epoch is not None, \
+                f"--weight_file: no checkpoints under {args.weight_file}"
+            state = state.replace(params=warm.params,
+                                  ema_params=warm.ema_params)
+        print(f"warm-started weights from {args.weight_file}")
 
     # resume (training_utils.py:62-87)
     state, resumed = load_checkpoint(state, experiment_dir)

@@ -22,6 +22,18 @@ def main(argv=None):
                         help="pickled ThreedFutureNormPCDataset (or reference pickle)")
     parser.add_argument("--seed", type=int, default=27)
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--continue_from_epoch", type=int, default=0,
+                        help="start epoch when no checkpoint is found in the "
+                        "experiment dir (reference train_objautoencoder.py:43)")
+    parser.add_argument("--weight_file", default=None,
+                        help="warm-start weights before training (reference "
+                        "train_objautoencoder.py:37,212-215): torch .pt/.pth "
+                        "state_dict (converted) or an experiment dir with "
+                        "model_* checkpoints")
+    parser.add_argument("--with_wandb_logger", action="store_true")
+    parser.add_argument("--n_processes", type=int, default=0,
+                        help="accepted for reference drop-in compatibility "
+                        "(DataLoader workers there, train_objautoencoder.py:49)")
     parser.add_argument("--num_samples", type=int, default=None,
                         help="points served per object (reference fixes 2048, "
                         "threed_future_dataset.py:101); smaller for smoke runs")
@@ -31,7 +43,8 @@ def main(argv=None):
     from ..models.autoencoder import KLAutoEncoder
     from ..train.ae_trainer import AETrainer
     from ..utils import (
-        StatsLogger, load_config, load_checkpoint, save_checkpoint, save_experiment_params,
+        StatsLogger, WandB, load_config, load_checkpoint, save_checkpoint,
+        save_experiment_params,
     )
 
     config = load_config(args.config_file)
@@ -59,10 +72,30 @@ def main(argv=None):
     trainer = AETrainer(model, config["training"], steps_per_epoch=steps_per_epoch,
                         n_points=n_points)
     state = trainer.init_state(jax.random.PRNGKey(args.seed))
-    state, resumed = load_checkpoint(state, experiment_dir)
-    start_epoch = (resumed + 1) if resumed is not None else 0
+    # warm start (train_objautoencoder.py:212-215 loads --weight_file into
+    # the net before the epoch loop; optimizer state starts fresh)
+    if args.weight_file:
+        if args.weight_file.endswith((".pt", ".pth")):
+            from ..utils import convert_autoencoder, load_torch_checkpoint
 
-    logger = StatsLogger.instance()
+            variables = convert_autoencoder(load_torch_checkpoint(args.weight_file))
+            state = state.replace(params=variables["params"],
+                                  batch_stats=variables["batch_stats"])
+        else:
+            warm, warm_epoch = load_checkpoint(state, args.weight_file)
+            assert warm_epoch is not None, \
+                f"--weight_file: no checkpoints under {args.weight_file}"
+            state = state.replace(params=warm.params,
+                                  batch_stats=warm.batch_stats)
+        print(f"warm-started weights from {args.weight_file}")
+    state, resumed = load_checkpoint(state, experiment_dir)
+    start_epoch = (resumed + 1) if resumed is not None else args.continue_from_epoch
+
+    logger = WandB.instance() if args.with_wandb_logger else StatsLogger.instance()
+    if args.with_wandb_logger:
+        logger.init(args, None,
+                    project=config.get("logger", {}).get("project", "diffuscene_tpu"),
+                    name=experiment_tag)
     stats_file = open(os.path.join(experiment_dir, "stats.txt"), "a")
     logger.add_output_file(stats_file)
     epochs = args.epochs if args.epochs is not None else int(config["training"].get("epochs", 2000))

@@ -262,17 +262,22 @@ class JaxVGG16Features(_JaxBatchedFeatures):
         return self._fn(params, (x - jnp.asarray(self._MEAN)) / jnp.asarray(self._STD))
 
 
-def load_image_folder(path: str, limit: Optional[int] = None) -> np.ndarray:
-    """Load a folder of renders into (B, H, W, 3) uint8 (sorted order)."""
+def load_image_paths(paths) -> np.ndarray:
+    """Load an explicit list of image files into (B, H, W, 3) uint8."""
     from PIL import Image
 
+    return np.stack([np.asarray(Image.open(f).convert("RGB")) for f in paths])
+
+
+def load_image_folder(path: str, limit: Optional[int] = None) -> np.ndarray:
+    """Load a folder of renders into (B, H, W, 3) uint8 (sorted order)."""
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path)
         if f.lower().endswith((".png", ".jpg", ".jpeg"))
     )
     if limit:
         files = files[:limit]
-    return np.stack([np.asarray(Image.open(f).convert("RGB")) for f in files])
+    return load_image_paths(files)
 
 
 def compute_fid_folders(real_dir: str, fake_dir: str,

@@ -65,6 +65,26 @@ def subsample_features(feats: np.ndarray, num_samples: Optional[int],
     return feats
 
 
+def save_manifold(path: str, feats: np.ndarray, k: int = 3):
+    """Persist a precalculated reference manifold (features + k-NN radii),
+    the reference's --fname_precalc / IPR.save_ref
+    (improved_precision_recall.py:381,463-467)."""
+    # native dtype (no cast) so a reloaded manifold reproduces the
+    # folder-based precision/recall bit-exactly
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             feats=np.asarray(feats),
+             radii=np.asarray(knn_radii(feats, k)),
+             k=np.int64(k))
+
+
+def load_manifold(path: str):
+    """(feats, radii, k) from a save_manifold npz — accepted anywhere the
+    reference accepts a precalculated .npz as path_real
+    (improved_precision_recall.py:106)."""
+    d = np.load(path)
+    return d["feats"], d["radii"], int(d["k"])
+
+
 def compute_precision_recall(
     real_feats: np.ndarray,
     fake_feats: np.ndarray,

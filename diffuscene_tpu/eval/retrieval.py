@@ -150,6 +150,31 @@ def get_textured_objects_based_on_objfeats(
     return out
 
 
+def scene_meshes_from_room(room, ignore_lamps: bool = False) -> List[SceneMesh]:
+    """World-transformed textured meshes of a raw Room's own furniture,
+    centered at the room centroid — the reference's
+    ``get_textured_objects_in_scene`` (scripts/utils.py:184-217), used by
+    preprocessing to render the "real" scene images that feed FID.
+    """
+    out = []
+    for f in room.bboxes:
+        label = getattr(f, "label", "")
+        if ignore_lamps and label in ("ceiling_lamp", "pendant_lamp"):
+            continue
+        m = _load_mesh(f)
+        # the furniture's own transform: scale, z-rotation, position
+        # (threed_front_scene.py raw_model_transformed)
+        v = f._transform(np.asarray(m["vertices"])) - np.asarray(room.centroid)
+        out.append(SceneMesh(
+            vertices=v, faces=m["faces"], label=label,
+            model_jid=getattr(f, "model_jid", None),
+            texture_path=m["texture_path"], face_uvs=m["face_uvs"],
+            kd=m["kd"], face_materials=m["face_materials"],
+            materials=m["materials"],
+        ))
+    return out
+
+
 def floor_plan_from_scene(room, floor_textures: Sequence[str] = (),
                           rng: Optional[np.random.Generator] = None,
                           texture_scale: float = 2.0) -> SceneMesh:

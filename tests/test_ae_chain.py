@@ -271,3 +271,33 @@ def test_shape_ae_objfeats_chain(raw_root):
     exp = os.path.join(out, "chain")
     assert any(d.startswith("model_") for d in os.listdir(exp))
     assert os.path.isfile(os.path.join(exp, "stats.txt"))
+
+
+def test_pointcloud_cli_split_mode(raw_root):
+    """The reference's per-split catalog mode
+    (pickle_threed_fucture_pointcloud.py:105-187): objects are collected per
+    split through the scene filter, npzs carry points/normals/loc/scale
+    (float16 like the reference :161-175), and lst files + per-model PLYs
+    land under threed_future_pointcloud_<room>/."""
+    from diffuscene_tpu.cli.pickle_threed_future_pointcloud import main as pc_main
+
+    root = raw_root["root"]
+    out = os.path.join(root, "pc_split_out")
+    pc_main([out, raw_root["front"], raw_root["future"], raw_root["model_info"],
+             "--annotation_file", raw_root["splits"],
+             "--pointcloud_size", str(N_POINTS), "--bbox_padding", "0.1"])
+    pc_dir = os.path.join(out, "threed_future_pointcloud_bedroom")
+    for split in ("train", "val", "test"):
+        assert os.path.isfile(os.path.join(pc_dir, f"{split}.lst"))
+    train_jids = [l.strip() for l in open(os.path.join(pc_dir, "train.lst")) if l.strip()]
+    assert train_jids, "train split collected no objects"
+    for jid in train_jids:
+        assert os.path.isfile(os.path.join(pc_dir, f"{jid}.ply"))
+        d = np.load(os.path.join(raw_root["future"], jid, "raw_model_norm_pc.npz"))
+        assert d["points"].dtype == np.float16 and d["points"].shape == (N_POINTS, 3)
+        assert d["normals"].shape == (N_POINTS, 3)
+        assert d["loc"].shape == (3,) and float(d["scale"]) > 0
+        # bbox_padding=0.1: longest side normalized to 1 - 0.1 = 0.9
+        ext = (d["points"].astype(np.float32).max(0)
+               - d["points"].astype(np.float32).min(0))
+        assert ext.max() <= 0.9 + 1e-2

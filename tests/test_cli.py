@@ -367,6 +367,116 @@ def test_ipr_cli_extracts_features_once(tmp_path, capsys, monkeypatch):
     assert len(calls) == 2
 
 
+def test_train_cli_weight_file_warm_start(synth_config):
+    """--weight_file warm-starts a fresh experiment from another run's
+    checkpoints (reference train_diffusion.py:41,181)."""
+    import jax
+
+    from diffuscene_tpu.cli.train_diffusion import main
+
+    cfg_path, root = synth_config
+    out = os.path.join(root, "out_warm")
+    main([cfg_path, out, "--experiment_tag", "warm", "--seed", "1",
+          "--epochs", "1", "--weight_file", os.path.join(root, "out", "e2e")])
+    exp = os.path.join(out, "warm")
+    assert any(d.startswith("model_") for d in os.listdir(exp))
+
+
+def test_completion_cli_scene_id(synth_config):
+    """--scene_id pins every completion sequence to one named eval scene
+    (reference completion_rearrange.py:117,264-268)."""
+    import pytest
+
+    from diffuscene_tpu.cli.completion_rearrange import main
+    from diffuscene_tpu.utils import load_config
+
+    cfg_path, root = synth_config
+    cfg = load_config(cfg_path)
+    data_dir = cfg["data"]["dataset_directory"]
+    test_ids = [l.split(",")[0] for l in
+                open(os.path.join(data_dir, "splits.csv"))
+                if l.strip().endswith("test")]
+    comp_dir = os.path.join(root, "completed_scene_id")
+    main([cfg_path, comp_dir, "--n_sequences", "1", "--batch_size", "8",
+          "--num_partial", "2", "--scene_id", test_ids[0]])
+    assert os.path.isfile(os.path.join(comp_dir, "00000_boxes.json"))
+    with pytest.raises(SystemExit):
+        main([cfg_path, comp_dir, "--n_sequences", "1", "--batch_size", "8",
+              "--scene_id", "no-such-scene"])
+
+
+def test_fid_cli_annotations_compare_all(synth_config, capsys, tmp_path):
+    """The annotations positional selects the real set from a cached dataset
+    by split membership; --compare_all adds the test split
+    (reference compute_fid_scores.py:59,67-83)."""
+    from PIL import Image
+
+    from diffuscene_tpu.cli.compute_fid_scores import main as fid_main
+    from diffuscene_tpu.utils import load_config
+
+    cfg_path, root = synth_config
+    data_dir = load_config(cfg_path)["data"]["dataset_directory"]
+    rng = np.random.default_rng(0)
+    n_dirs = 0
+    for d in os.listdir(data_dir):
+        p = os.path.join(data_dir, d)
+        if os.path.isdir(p):
+            Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                            ).save(os.path.join(p, "rendered_scene_256.png"))
+            n_dirs += 1
+    fake_dir = str(tmp_path / "fake")
+    os.makedirs(fake_dir)
+    for i in range(4):
+        Image.fromarray(rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+                        ).save(os.path.join(fake_dir, f"{i}.png"))
+    splits_csv = os.path.join(data_dir, "splits.csv")
+    n_trainval = sum(1 for l in open(splits_csv)
+                     if l.strip().endswith(("train", "val")))
+
+    fid_main([data_dir, fake_dir, splits_csv, "--features", "pixel",
+              "--kid_subset_size", "4"])
+    out = capsys.readouterr().out
+    assert f"real set: {n_trainval} renders" in out
+    payload = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(payload["fid"])
+
+    fid_main([data_dir, fake_dir, splits_csv, "--compare_all",
+              "--features", "pixel", "--kid_subset_size", "4"])
+    out = capsys.readouterr().out
+    assert f"real set: {n_dirs} renders" in out
+
+
+def test_ipr_cli_precalc_roundtrip(tmp_path, capsys):
+    """--fname_precalc saves the real manifold; an .npz path_real reuses it
+    with identical precision/recall (improved_precision_recall.py:381,
+    463-467, :106)."""
+    from PIL import Image
+
+    from diffuscene_tpu.cli.improved_precision_recall import main as ipr_main
+
+    rng = np.random.default_rng(0)
+    real_dir, fake_dir = str(tmp_path / "real"), str(tmp_path / "fake")
+    for d in (real_dir, fake_dir):
+        os.makedirs(d)
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                            ).save(os.path.join(d, f"{i}.png"))
+
+    ipr_main([real_dir, fake_dir, "--num_samples", "6", "--features", "pixel"])
+    base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    precalc = str(tmp_path / "real_manifold.npz")
+    ipr_main([real_dir, fake_dir, "--num_samples", "6", "--features", "pixel",
+              "--fname_precalc", precalc])
+    out = capsys.readouterr().out
+    assert "saved real manifold" in out and os.path.isfile(precalc)
+
+    ipr_main([precalc, fake_dir, "--num_samples", "6", "--features", "pixel"])
+    reused = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert reused["precision"] == base["precision"]
+    assert reused["recall"] == base["recall"]
+
+
 def test_eval_cli_defaults_error_without_weights(tmp_path):
     """The default (paper-comparable) feature paths must fail loudly when no
     local weights exist rather than printing a number (VERDICT r2 weak #1)."""
