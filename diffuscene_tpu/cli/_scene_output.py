@@ -18,7 +18,15 @@ import numpy as np
 def add_scene_output_args(parser):
     """Mesh-retrieval / render / export flags shared by the sampling CLIs
     (reference argument set: generate_diffusion.py:60-160,
-    completion_rearrange.py:100-160)."""
+    completion_rearrange.py:100-160).  The catalog pickle is accepted both
+    as the reference's third positional and as a flag; call
+    :func:`resolve_scene_output_args` after parsing to merge them."""
+    parser.add_argument("pickled_models_pos", nargs="?", default=None,
+                        metavar="path_to_pickled_3d_futute_models",
+                        help="the reference's third positional: pickled "
+                        "3D-FUTURE catalog for mesh retrieval "
+                        "(generate_diffusion.py:56-59); the flag form below "
+                        "wins when both are given")
     parser.add_argument("--retrive_objfeats", action="store_true",
                         help="retrieve meshes by latent shape codes")
     parser.add_argument("--path_to_pickled_3d_futute_models", default=None)
@@ -71,6 +79,14 @@ def add_scene_output_args(parser):
                         help="directory for the orbit frames (default: "
                         "<output>/frames)")
     parser.add_argument("--n_frames", type=int, default=360)
+
+
+def resolve_scene_output_args(args):
+    """Merge the positional catalog path into the flag dest (flag wins)."""
+    if getattr(args, "pickled_models_pos", None) and not getattr(
+            args, "path_to_pickled_3d_futute_models", None):
+        args.path_to_pickled_3d_futute_models = args.pickled_models_pos
+    return args
 
 
 class SceneOutput:

@@ -75,7 +75,9 @@ def main(argv=None):
     # retrieval + textured rendering + --save_mesh export funnel
     # (completion_rearrange.py:138-160 -> scripts/utils.py:460-560)
     add_scene_output_args(parser)
-    args = parser.parse_args(argv)
+    from ._scene_output import resolve_scene_output_args
+
+    args = resolve_scene_output_args(parser.parse_args(argv))
 
     from ..data.factory import get_dataset_raw_and_encoded
     from ..eval.metrics import (

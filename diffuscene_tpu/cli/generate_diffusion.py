@@ -61,7 +61,9 @@ def main(argv=None):
                         help="capture a jax.profiler trace of the sampling "
                         "batches to this directory (XProf/TensorBoard); the "
                         "first (compile) batch is excluded")
-    args = parser.parse_args(argv)
+    from ._scene_output import resolve_scene_output_args
+
+    args = resolve_scene_output_args(parser.parse_args(argv))
 
     from ..data.factory import get_dataset_raw_and_encoded
     from ..eval.metrics import (

@@ -17,7 +17,11 @@ import numpy as np
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Export shape-AE latents (TPU)")
     parser.add_argument("config_file")
-    parser.add_argument("weight_dir", help="experiment dir with model_* checkpoints")
+    parser.add_argument("weight_dir", metavar="output_directory",
+                        help="experiment/output dir (the reference's second "
+                        "positional, generate_objautoencoder.py:35): weights "
+                        "load from here unless --weight_file is given, and "
+                        "the latent std report is written here")
     parser.add_argument("--path_to_pickled_dataset", required=True)
     parser.add_argument("--output_directory", default=None,
                         help="write latents here instead of next to the models")

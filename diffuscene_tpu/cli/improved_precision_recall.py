@@ -12,8 +12,16 @@ import json
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Improved precision/recall over renders")
-    parser.add_argument("path_to_real_renderings")
+    parser.add_argument("path_to_real_renderings",
+                        help="flat folder of real renders, a precalculated "
+                        "manifold .npz, or (with path_to_annotations) a "
+                        "preprocessed cached-dataset directory")
     parser.add_argument("path_to_synthesized_renderings")
+    parser.add_argument("path_to_annotations", nargs="?", default=None,
+                        help="scene_id,split CSV; when given, the real set is "
+                        "the cached dataset's train+val renders like the "
+                        "reference (improved_precision_recall.py:375,"
+                        "396-404)")
     parser.add_argument("--batch_size", type=int, default=100)
     parser.add_argument("--k", type=int, default=3)
     parser.add_argument("--num_samples", type=int, default=5000)
@@ -87,6 +95,25 @@ def main(argv=None):
 
         real_feats, _, _ = load_manifold(args.path_to_real_renderings)
         real_feats = subsample_features(real_feats, args.num_samples, rng)
+    elif args.path_to_annotations:
+        # real set = train+val renders of a preprocessed cached dataset
+        # (improved_precision_recall.py:396-404)
+        from ..data.splits import CSVSplitsBuilder
+        from ..data.threed_front import CachedThreedFront
+        from ..eval.fid import load_image_paths
+
+        ids = CSVSplitsBuilder(args.path_to_annotations).get_splits(
+            ["train", "val"])
+        ds = CachedThreedFront(args.path_to_real_renderings,
+                               config={"train_stats": "dataset_stats.txt"},
+                               scene_ids=ids)
+        paths = [p for p in ds._path_to_renders if p]
+        if not paths:
+            raise SystemExit(f"no renders found for train+val under "
+                             f"{args.path_to_real_renderings}")
+        print(f"real set: {len(paths)} renders from splits ['train', 'val']")
+        real_feats = subsample_features(fn(load_image_paths(paths)),
+                                        args.num_samples, rng)
     else:
         real_feats = subsample_features(
             fn(load_image_folder(args.path_to_real_renderings)), args.num_samples, rng)

@@ -58,6 +58,34 @@ def test_reference_flags_accepted(ref_script):
         f"{MAPPING[ref_script]}: {missing}")
 
 
+_POS_RE = re.compile(r"add_argument\(\s*['\"]([a-zA-Z][\w]*)['\"]")
+
+
+def _positionals(path):
+    """Ordered positional names, metavar winning over dest when present."""
+    src = open(path).read()
+    out = []
+    for m in _POS_RE.finditer(src):
+        tail = src[m.end(): m.end() + 400]
+        # stop at the end of this call (first line starting a new statement)
+        mv = re.search(r"metavar\s*=\s*['\"]([\w]+)['\"]", tail.split("add_argument")[0])
+        out.append(mv.group(1) if mv else m.group(1))
+    return out
+
+
+@pytest.mark.skipif(not os.path.isdir(REFERENCE), reason="no reference checkout")
+@pytest.mark.parametrize("ref_script", sorted(MAPPING))
+def test_reference_positionals_accepted(ref_script):
+    """Reference positional-argument order is honored (drop-in invocations
+    pass paths positionally, not only by flag)."""
+    ref_pos = _positionals(os.path.join(REFERENCE, ref_script))
+    repo_pos = []
+    for mod in MAPPING[ref_script]:
+        repo_pos += _positionals(os.path.join(REPO_CLI, mod))
+    assert repo_pos[: len(ref_pos)] == ref_pos, (
+        f"{ref_script}: positionals {ref_pos} vs repo {repo_pos}")
+
+
 def test_pointcloud_cli_n_points_alias():
     """--n_points (the repo's historical name) still parses as an alias of
     the reference's --pointcloud_size."""
