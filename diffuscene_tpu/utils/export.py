@@ -86,6 +86,12 @@ def _export(
     tagged = {k: np.full(tpl[k].shape, float(i + 1), np.float32)
               for i, k in enumerate(keys)}
     tag_tree = _flatten(forward_fn(tagged))
+    # Second probe with ALL values 1.0: additive residuals (the -1e-5
+    # FrozenBatchNorm un-bake) read off a float32 leaf near 1.0 resolve to
+    # ~6e-8, whereas at tag magnitude ~100 the same float32 leaf quantises
+    # the residual to that scale's ULP (~1e-5) and corrupts the re-bake.
+    ones_tree = _flatten(forward_fn(
+        {k: np.ones(tpl[k].shape, np.float32) for k in keys}))
     tag_to_path: Dict[int, tuple] = {}
     for path, leaf in tag_tree.items():
         leaf = np.asarray(leaf)
@@ -95,7 +101,8 @@ def _export(
         i = int(round(v))
         if i in tag_to_path:
             raise AssertionError(f"torch key #{i} mapped to two flax leaves")
-        tag_to_path[i] = (path, v - i)
+        residual = float(np.asarray(ones_tree[path]).flat[0]) - 1.0
+        tag_to_path[i] = (path, residual)
 
     user = _flatten(variables)
     out: Dict[str, np.ndarray] = {}
