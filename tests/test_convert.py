@@ -17,14 +17,17 @@ pytestmark = pytest.mark.skipif(
 
 
 def _load_ref_denoise():
+    import importlib.machinery
     import importlib.util
 
     # the reference file has dead tkinter imports (denoise_net.py:6-7)
     tk = types.ModuleType("tkinter")
+    tk.__spec__ = importlib.machinery.ModuleSpec("tkinter", None)
     tk.__path__ = []
     tk.W = None
     for sub, attrs in [("messagebox", {"NO": None}), ("tix", {"Tree": None})]:
         mod = types.ModuleType("tkinter." + sub)
+        mod.__spec__ = importlib.machinery.ModuleSpec("tkinter." + sub, None)
         for a, v in attrs.items():
             setattr(mod, a, v)
         sys.modules.setdefault("tkinter." + sub, mod)

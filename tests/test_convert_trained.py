@@ -37,14 +37,17 @@ NET_KWARGS = dict(
 
 
 def _load_ref():
+    import importlib.machinery
     import importlib.util
 
     tk = types.ModuleType("tkinter")
+    tk.__spec__ = importlib.machinery.ModuleSpec("tkinter", None)
     tk.__path__ = []
     tk.W = None
     sys.modules.setdefault("tkinter", tk)
     for sub, attrs in [("messagebox", {"NO": None}), ("tix", {"Tree": None})]:
         mod = types.ModuleType("tkinter." + sub)
+        mod.__spec__ = importlib.machinery.ModuleSpec("tkinter." + sub, None)
         for a, v in attrs.items():
             setattr(mod, a, v)
         sys.modules.setdefault("tkinter." + sub, mod)

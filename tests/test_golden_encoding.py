@@ -21,6 +21,7 @@ influence compared OUTPUTS (cmudict pronunciations, the tokenizer, the
 embedding table) is pinned to real data or shared between both sides so the
 comparison exercises the reference's logic, not the stubs.
 """
+import importlib.machinery
 import importlib.util
 import json
 import os
@@ -94,6 +95,16 @@ def _simple_word_tokenize(s):
     return re.findall(r"[A-Za-z][A-Za-z\-']*|\d+|[^\w\s]", s)
 
 
+def _stub_module(name):
+    """ModuleType with a (loader-less) __spec__ so later
+    `importlib.util.find_spec(name)` calls — e.g. transformers'
+    `_is_package_available` — return the spec instead of raising
+    `ValueError: <name>.__spec__ is None` on the already-imported stub."""
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+    return mod
+
+
 def _install_stubs():
     """Import-only stubs for packages absent in this environment."""
     if "torchtext" in sys.modules:
@@ -107,11 +118,11 @@ def _install_stubs():
         def __getitem__(self, token):
             return torch.from_numpy(np.asarray(_SHARED_EMB(token)))
 
-    torchtext = types.ModuleType("torchtext")
+    torchtext = _stub_module("torchtext")
     torchtext.vocab = types.SimpleNamespace(GloVe=_GloVeStub)
     sys.modules["torchtext"] = torchtext
 
-    n2w = types.ModuleType("num2words")
+    n2w = _stub_module("num2words")
     # independent inline table (NOT the one in diffuscene_tpu.data.text)
     _CARD = ("zero one two three four five six seven eight nine ten eleven "
              "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
@@ -122,10 +133,10 @@ def _install_stubs():
     n2w.num2words = lambda n, ordinal=False: (_ORD if ordinal else _CARD)[n]
     sys.modules["num2words"] = n2w
 
-    nltk = types.ModuleType("nltk")
-    nltk_tok = types.ModuleType("nltk.tokenize")
+    nltk = _stub_module("nltk")
+    nltk_tok = _stub_module("nltk.tokenize")
     nltk_tok.word_tokenize = _simple_word_tokenize
-    nltk_corpus = types.ModuleType("nltk.corpus")
+    nltk_corpus = _stub_module("nltk.corpus")
     nltk_corpus.cmudict = types.SimpleNamespace(dict=lambda: dict(_PRONUNCIATIONS))
     nltk.tokenize = nltk_tok
     nltk.corpus = nltk_corpus
@@ -133,26 +144,31 @@ def _install_stubs():
     sys.modules["nltk.tokenize"] = nltk_tok
     sys.modules["nltk.corpus"] = nltk_corpus
 
-    # dead imports in threed_front.py / threed_front_scene.py
-    tk = types.ModuleType("tkinter")
-    tk.E = None
-    tk.W = None
-    sys.modules.setdefault("tkinter", tk)
-    sys.modules.setdefault("trimesh", types.ModuleType("trimesh"))
-    s3 = types.ModuleType("simple_3dviz")
+    # dead imports in threed_front.py / threed_front_scene.py.  tkinter may
+    # already be present — real, or a partial stub from test_convert*.py
+    # (which installs W but not E) — so ensure the names rather than replace.
+    tk = sys.modules.get("tkinter")
+    if tk is None:
+        tk = _stub_module("tkinter")
+        sys.modules["tkinter"] = tk
+    for attr in ("E", "W"):
+        if not hasattr(tk, attr):
+            setattr(tk, attr, None)
+    sys.modules.setdefault("trimesh", _stub_module("trimesh"))
+    s3 = _stub_module("simple_3dviz")
     for name in ("Lines", "Mesh", "Spherecloud"):
         setattr(s3, name, type(name, (), {}))
-    s3_tm = types.ModuleType("simple_3dviz.renderables.textured_mesh")
+    s3_tm = _stub_module("simple_3dviz.renderables.textured_mesh")
     s3_tm.Material = type("Material", (), {})
     s3_tm.TexturedMesh = type("TexturedMesh", (), {})
-    s3_kb = types.ModuleType("simple_3dviz.behaviours.keyboard")
+    s3_kb = _stub_module("simple_3dviz.behaviours.keyboard")
     s3_kb.SnapshotOnKey = type("SnapshotOnKey", (), {})
-    s3_misc = types.ModuleType("simple_3dviz.behaviours.misc")
+    s3_misc = _stub_module("simple_3dviz.behaviours.misc")
     s3_misc.LightToCamera = type("LightToCamera", (), {})
     sys.modules["simple_3dviz"] = s3
-    sys.modules["simple_3dviz.renderables"] = types.ModuleType("simple_3dviz.renderables")
+    sys.modules["simple_3dviz.renderables"] = _stub_module("simple_3dviz.renderables")
     sys.modules["simple_3dviz.renderables.textured_mesh"] = s3_tm
-    sys.modules["simple_3dviz.behaviours"] = types.ModuleType("simple_3dviz.behaviours")
+    sys.modules["simple_3dviz.behaviours"] = _stub_module("simple_3dviz.behaviours")
     sys.modules["simple_3dviz.behaviours.keyboard"] = s3_kb
     sys.modules["simple_3dviz.behaviours.misc"] = s3_misc
 
