@@ -204,23 +204,9 @@ def mfu_metric(B: int = 768):
     }))
 
 
-def train_metric(variant: str = "f32", spd: int = 1):
-    """Optional secondary benchmark: train steps/sec at the reference recipe
-    (batch 128, IoU loss).  Run with `python bench.py train` (f32),
-    `python bench.py train bf16` (bf16 activations; measured v5e B=128:
-    8.72 ms/step vs 9.45 f32), or `python bench.py train bf16_fast`
-    (bf16 + tanh-approx GELU, the fast-training option).  The Trainer's mixed_precision pre-cast is
-    NOT used — measured slower (10.49 ms/step) than the in-forward casts,
-    which fuse into the matmul prologs (see train/trainer.py docstring).
-
-    An optional third arg sets steps-per-dispatch:
-    `python bench.py train bf16 8` runs 8 train steps per device dispatch
-    via Trainer.train_step_scan (one lax.scan program), the path the train
-    CLI's --steps_per_dispatch uses to amortize host dispatch through
-    remote TPU tunnels.  Each dispatch re-puts freshly stacked host batches
-    so the measured rate includes the real host->device transfer cost."""
-    import time
-
+def _train_setup(variant: str, B: int = 128):
+    """Flagship trainer at the reference recipe (B=128, IoU loss) + one
+    device-resident batch; shared by `train_metric` and the train-MFU mode."""
     import jax
     import jax.numpy as jnp
     from diffuscene_tpu.models import SceneDiffusion, SceneModelConfig
@@ -259,7 +245,6 @@ def train_metric(variant: str = "f32", spd: int = 1):
                               "lr_step": 10000, "lr_decay": 0.5, "max_grad_norm": 10.0})
     state = trainer.init_state(jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    B = 128
     batch = trainer.put_batch({
         "translations": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
         "sizes": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
@@ -267,6 +252,30 @@ def train_metric(variant: str = "f32", spd: int = 1):
         "class_labels": (rng.integers(0, 2, (B, 12, 22)) * 2 - 1).astype(np.float32),
         "objfeats_32": rng.normal(0, 1, (B, 12, 32)).astype(np.float32),
     })
+    return trainer, state, batch
+
+
+def train_metric(variant: str = "f32", spd: int = 1):
+    """Optional secondary benchmark: train steps/sec at the reference recipe
+    (batch 128, IoU loss).  Run with `python bench.py train` (f32),
+    `python bench.py train bf16` (bf16 activations; measured v5e B=128:
+    8.72 ms/step vs 9.45 f32), or `python bench.py train bf16_fast`
+    (bf16 + tanh-approx GELU, the fast-training option).  The Trainer's mixed_precision pre-cast is
+    NOT used — measured slower (10.49 ms/step) than the in-forward casts,
+    which fuse into the matmul prologs (see train/trainer.py docstring).
+
+    An optional third arg sets steps-per-dispatch:
+    `python bench.py train bf16 8` runs 8 train steps per device dispatch
+    via Trainer.train_step_scan (one lax.scan program), the path the train
+    CLI's --steps_per_dispatch uses to amortize host dispatch through
+    remote TPU tunnels.  Each dispatch re-puts freshly stacked host batches
+    so the measured rate includes the real host->device transfer cost."""
+    import time
+
+    import jax
+
+    B = 128
+    trainer, state, batch = _train_setup(variant, B)
     key = jax.random.PRNGKey(1)
     if spd > 1:
         def host_batch(seed):
@@ -308,6 +317,82 @@ def train_metric(variant: str = "f32", spd: int = 1):
         "unit": "steps/sec",
         "variant": variant,
         "steps_per_dispatch": spd,
+        "vs_baseline": None,
+    }))
+
+
+def train_mfu_metric(variant: str = "bf16", k: int = 50):
+    """MFU of the train step (`python bench.py mfu train [variant] [k]`).
+
+    Same method as the sampler MFU: flops from XLA's cost analysis of the
+    compiled program (forward + backward + grad-clip + Adam at the
+    reference recipe, B=128, IoU loss), reported against the v5e per-chip
+    bf16 peak (197 TFLOP/s).
+
+    The timing window runs k steps per dispatch via Trainer.train_step_scan
+    on device-resident stacked batches, NOT a Python loop of single steps:
+    through the remote TPU tunnel a per-step dispatch loop measures the
+    dispatch RTT (~8.5 ms observed), not the device.  One lax.scan dispatch
+    executes its k steps back-to-back on device, so time/k is
+    dispatch-insensitive.  Flops come from the cost analysis of the SAME
+    scan executable divided by k, so the numerator matches the program the
+    window ran.  Measured v5e 2026-08-20 (equivalent k=100 procedure):
+    8.04 ms/step bf16 B=128 -> 345.4 GFLOP/step, 43 TFLOP/s = 21.8% MFU.
+    A single-step dispatch loop measured the same day bracketed it at
+    8.49/3.60 ms/step across runs — tunnel-state-dependent, hence the scan.
+    """
+    import time
+
+    import jax
+
+    B = 128
+    trainer, state, batch = _train_setup(variant, B)
+    key = jax.random.PRNGKey(1)
+    # k distinct device-resident batches (the scan consumes one per step,
+    # like real training; transfer cost is deliberately excluded here —
+    # `bench.py train bf16 8` measures the with-transfers wall rate)
+    rng = np.random.default_rng(7)
+    stacked = trainer.put_batches([{
+        "translations": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+        "sizes": rng.uniform(-1, 1, (B, 12, 3)).astype(np.float32),
+        "angles": rng.uniform(-1, 1, (B, 12, 2)).astype(np.float32),
+        "class_labels": (rng.integers(0, 2, (B, 12, 22)) * 2 - 1).astype(np.float32),
+        "objfeats_32": rng.normal(0, 1, (B, 12, 32)).astype(np.float32),
+    } for _ in range(k)])
+
+    for _ in range(2):  # warmup (the step compiles twice, see CLAUDE.md)
+        state, m = trainer.train_step_scan(state, stacked, key)
+    jax.block_until_ready(m["loss"])
+    n_disp = max(1, 200 // k)
+    t0 = time.perf_counter()
+    for _ in range(n_disp):
+        state, m = trainer.train_step_scan(state, stacked, key)
+    jax.block_until_ready(m["loss"])
+    dt = (time.perf_counter() - t0) / (n_disp * k)
+
+    # cost analysis of the scan program itself (settled, post-warmup specs).
+    # HloCostAnalysis visits the while-loop BODY ONCE regardless of trip
+    # count, so the scan's flop total IS the per-step count (verified: tiny
+    # model k=4 scan reports 63.7 MFLOP vs 255.3 MFLOP for the single-step
+    # program = exactly 1/k of k bodies; 63.7M*4 ~= 255.3M).
+    ca = trainer._train_scan_cache[k].lower(state, stacked, key).compile().cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops_per_step = float(ca.get("flops", 0.0))
+
+    peak = 197e12  # v5e bf16 per chip
+    sustained = flops_per_step / dt
+    print(json.dumps({
+        "metric": "bedroom_train_mfu_vs_v5e_bf16_peak",
+        "value": round(sustained / peak, 4),
+        "unit": "fraction",
+        "sustained_tflops": round(sustained / 1e12, 1),
+        "xla_flops_per_step": flops_per_step,
+        "ms_per_step": round(dt * 1e3, 4),
+        "steps_per_sec": round(1.0 / dt, 1),
+        "variant": variant,
+        "batch": B,
+        "steps_per_dispatch": k,
         "vs_baseline": None,
     }))
 
@@ -525,7 +610,11 @@ if __name__ == "__main__":
         dpm_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 20,
                    int(sys.argv[3]) if len(sys.argv) > 3 else 768)
     elif len(sys.argv) > 1 and sys.argv[1] == "mfu":
-        mfu_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 768)
+        if len(sys.argv) > 2 and sys.argv[2] == "train":
+            train_mfu_metric(sys.argv[3] if len(sys.argv) > 3 else "bf16",
+                             int(sys.argv[4]) if len(sys.argv) > 4 else 50)
+        else:
+            mfu_metric(int(sys.argv[2]) if len(sys.argv) > 2 else 768)
     elif len(sys.argv) > 1:
         raise SystemExit(f"unknown bench mode {sys.argv[1]!r}; "
                          "expected one of train, reference, multichip, dpm, mfu")

@@ -174,11 +174,16 @@ def main():
         )
 
     # shape-AE configs (config/obj_autoencoder/*.yaml): lat32 over all rooms
-    for name, rooms in [
-        ("bed_living_diningrooms_lat32", ["bedrooms", "livingrooms", "diningrooms"]),
-        ("bedrooms", ["bedrooms"]),
-        ("livingrooms", ["livingrooms"]),
-        ("diningrooms", ["diningrooms"]),
+    # + the 64-d variant (reference bed_living_diningrooms.yaml: objfeat_dim
+    # 64, epochs 1010; the lat32 file is the shipped-pipeline default)
+    for name, rooms, lat, ae_epochs in [
+        ("bed_living_diningrooms_lat32",
+         ["bedrooms", "livingrooms", "diningrooms"], 32, 1000),
+        ("bed_living_diningrooms",
+         ["bedrooms", "livingrooms", "diningrooms"], 64, 1010),
+        ("bedrooms", ["bedrooms"], 32, 1000),
+        ("livingrooms", ["livingrooms"], 32, 1000),
+        ("diningrooms", ["diningrooms"], 32, 1000),
     ]:
         emit(
             os.path.join(HERE, "obj_autoencoder", f"{name}.yaml"),
@@ -189,10 +194,10 @@ def main():
                     "path_to_3d_future_dataset_directory": "data/3D-FUTURE-model",
                     "path_to_model_info": "data/3D-FUTURE-model/model_info.json",
                 },
-                "network": {"objfeat_dim": 32, "kl_weight": 0.001},
+                "network": {"objfeat_dim": lat, "kl_weight": 0.001},
                 "training": {
                     "splits": ["train", "val", "test"],
-                    "epochs": 1000,
+                    "epochs": ae_epochs,
                     "steps_per_epoch": 500,
                     "batch_size": 16,
                     "save_frequency": 100,
