@@ -1,14 +1,25 @@
-"""Top-down orthographic scene rendering (dependency-free numpy rasterizer).
+"""Native scene rendering: textured z-buffer mesh rasterization plus a
+box-footprint fallback (dependency-free numpy).
 
 The reference renders retrieved textured meshes with simple_3dviz
 (`scripts/utils.py:220-239`, `render_scene_from_bbox_params:460-556`) for
 qualitative results and FID inputs.  simple_3dviz/trimesh are not available in
-this image, so this module provides a native orthographic box rasterizer:
-each object's oriented footprint (translation, size, z-angle) is painted
-top-down in its class color over the floor mask — the same projection and
-image size (256x256) as the reference's renders.  Mesh-level rendering can be
-plugged in where trimesh/simple_3dviz exist; all CLI entry points take a
-``renderer`` callable.
+this image, so this module implements the full rendering stack natively:
+
+- ``render_topdown`` — orthographic box rasterizer (oriented class-colored
+  footprints over the floor mask, 256x256 like the reference's FID inputs);
+  the cheap path used when no meshes are retrieved.
+- ``render_meshes_topdown`` — orthographic z-buffered *mesh* rasterizer with
+  barycentric UV texture sampling and MTL diffuse maps (parity with the
+  reference's top-down simple_3dviz renders, scripts/utils.py:521-539).
+- ``render_meshes_perspective`` / ``orbit_camera_positions`` /
+  ``render_orbit_frames`` — pinhole perspective camera with
+  perspective-correct UV interpolation and headlight shading, covering the
+  reference's camera/orbit flags (`--camera_position`, `--up_vector`,
+  `--with_rotating_camera`, scripts/utils.py:111-142).
+
+All CLI entry points still take a ``renderer`` callable, so an external
+OpenGL renderer can be swapped in where one exists.
 """
 from __future__ import annotations
 
