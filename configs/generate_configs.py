@@ -150,6 +150,36 @@ def main():
                     "logger": {"type": "stats", "project": "diffuscene_tpu"},
                 },
             )
+        # TPU-native large-batch recipe (no reference counterpart): B=512
+        # fills the chip (~36% train MFU vs 22% at the reference's B=128,
+        # docs/PERFORMANCE.md), bf16 compute + tanh-GELU + fast WS-VJP +
+        # fused low-precision Adam (train/optim.fused_clip_adam), sqrt-scaled
+        # LR (2e-4 * sqrt(512/128) = 4e-4) and EMA.  Convergence validated
+        # vs the B=128 recipe on the synthetic full-dress fixture (EVAL
+        # docs row, round 5).
+        b512_training = {
+            **training_section(room),
+            "batch_size": 512,
+            "lr": 0.0004,
+            "ema_decay": 0.9999,
+            "fused_adam": True,
+            "adam_moment_dtype": "bfloat16",
+            "grads_dtype": "bfloat16",
+        }
+        b512_network = network_section(room, "v")
+        b512_network["net_kwargs"].update(
+            compute_dtype="bfloat16", exact_gelu=False, ws_fast_vjp=True)
+        emit(
+            os.path.join(HERE, "uncond", f"diffusion_{room}_instancond_lat32_v_b512_tpu.yaml"),
+            {
+                "data": data_section(room, lat_enc),
+                "network": b512_network,
+                "feature_extractor": FEATURE_EXTRACTOR,
+                "training": b512_training,
+                "validation": VALIDATION,
+                "logger": {"type": "stats", "project": "diffuscene_tpu"},
+            },
+        )
         emit(
             os.path.join(HERE, "text", f"diffusion_{room}_instancond_lat32_v_bert.yaml"),
             {

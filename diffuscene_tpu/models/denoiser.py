@@ -21,6 +21,7 @@ checkpoints are convertible; see `train/convert.py`.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Optional, Sequence, Tuple
 
@@ -29,17 +30,66 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _ws_standardize_fast(kernel, eps, dtype):
+    """Weight standardization with a residual-light custom VJP.
+
+    Forward matches WSDense's exact path to within one-pass-variance
+    rounding (E[k^2]-E[k]^2 instead of jnp.var's two-pass form — halves the
+    f32 kernel reads).  The VJP is the layernorm gradient
+    ``dk = inv * (dw - mean(dw) - what * mean(dw * what))`` computed from
+    the SAVED compute-dtype standardized kernel ``what`` and ``inv`` —
+    the default VJP instead re-reads the f32 kernel and re-derives the
+    moments every backward step (the prime suspect of the round-4 backward
+    gap, VERDICT r4 Next #2; reference anchor denoise_net.py:78-91).
+    Using the bf16 ``what`` in the projection term adds ~2^-9 relative error
+    on that correction term only; opt-in via Unet1D.ws_fast_vjp.
+    """
+    w, _ = _ws_standardize_fast_fwd(kernel, eps, dtype)
+    return w
+
+
+def _ws_standardize_fast_fwd(kernel, eps, dtype):
+    kf = kernel  # f32 master
+    mean = jnp.mean(kf, axis=0, keepdims=True)
+    mean2 = jnp.mean(kf * kf, axis=0, keepdims=True)
+    var = jnp.maximum(mean2 - mean * mean, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    w = ((kf - mean) * inv).astype(dtype)
+    return w, (w, inv)
+
+
+def _ws_standardize_fast_bwd(eps, dtype, res, dw):
+    w, inv = res
+    dwf = dw.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    m_dw = jnp.mean(dwf, axis=0, keepdims=True)
+    m_dww = jnp.mean(dwf * wf, axis=0, keepdims=True)
+    dk = inv * (dwf - m_dw - wf * m_dww)
+    return (dk,)
+
+
+_ws_standardize_fast.defvjp(_ws_standardize_fast_fwd, _ws_standardize_fast_bwd)
+
+
 class WSDense(nn.Module):
     """Dense layer with weight standardization over the input axis.
 
     Equivalent of the reference WeightStandardizedConv2d (actually a k=1
     Conv1d, denoise_net.py:78-91): per-output-unit mean/var (biased) over the
     input dimension, eps 1e-5 in float32.
+
+    ``fast_vjp`` switches to :func:`_ws_standardize_fast` (one-pass forward
+    moments + residual-light backward); ``standardize=False`` skips the
+    standardization entirely (timing-attribution ablation only — same param
+    tree, different math).
     """
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    fast_vjp: bool = False
+    standardize: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -50,10 +100,15 @@ class WSDense(nn.Module):
             jnp.float32,
         )
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
-        # standardize in f32 for stability, then cast to the compute dtype
-        mean = jnp.mean(kernel, axis=0, keepdims=True)
-        var = jnp.var(kernel, axis=0, keepdims=True)
-        w = ((kernel - mean) * jax.lax.rsqrt(var + eps)).astype(self.dtype)
+        if not self.standardize:
+            w = kernel.astype(self.dtype)
+        elif self.fast_vjp:
+            w = _ws_standardize_fast(kernel, eps, self.dtype)
+        else:
+            # standardize in f32 for stability, then cast to the compute dtype
+            mean = jnp.mean(kernel, axis=0, keepdims=True)
+            var = jnp.var(kernel, axis=0, keepdims=True)
+            w = ((kernel - mean) * jax.lax.rsqrt(var + eps)).astype(self.dtype)
         y = jnp.einsum("...i,io->...o", x.astype(self.dtype), w)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
@@ -113,10 +168,13 @@ class Block(nn.Module):
     dim_out: int
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    ws_fast_vjp: bool = False
+    weight_standardize: bool = True
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
-        x = WSDense(self.dim_out, dtype=self.dtype, name="proj")(x)
+        x = WSDense(self.dim_out, dtype=self.dtype, fast_vjp=self.ws_fast_vjp,
+                    standardize=self.weight_standardize, name="proj")(x)
         x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
@@ -135,6 +193,8 @@ class ResnetBlock(nn.Module):
     emb_dim: int = 0
     groups: int = 8
     dtype: jnp.dtype = jnp.float32
+    ws_fast_vjp: bool = False
+    weight_standardize: bool = True
 
     @nn.compact
     def __call__(self, x, emb: Optional[jnp.ndarray] = None):
@@ -144,8 +204,9 @@ class ResnetBlock(nn.Module):
             if h.ndim == 2:
                 h = h[:, None, :]  # (B, 1, 2C) broadcast over objects
             scale_shift = (h[..., : self.dim_out], h[..., self.dim_out :])
-        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block2")(h)
+        ws = dict(ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize)
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block1", **ws)(x, scale_shift)
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block2", **ws)(h)
         if x.shape[-1] != self.dim_out:
             x = nn.Dense(self.dim_out, dtype=self.dtype, name="res_conv")(x)
         return h + x
@@ -360,6 +421,13 @@ class Unet1D(nn.Module):
     # converted reference checkpoints are bit-faithful.  The difference is
     # ~1e-3 absolute on activations — v-prediction training is insensitive.
     exact_gelu: bool = True
+    # Residual-light custom VJP for weight standardization (see WSDense):
+    # identical forward up to one-pass-variance rounding, cheaper backward
+    # (no f32 kernel re-read).  Off by default for bit-exact torch parity.
+    ws_fast_vjp: bool = False
+    # Timing-attribution ablation only: skip weight standardization entirely
+    # (same param tree, different math — NOT the reference architecture).
+    weight_standardize: bool = True
 
     @property
     def bbox_dim(self):
@@ -427,13 +495,13 @@ class Unet1D(nn.Module):
             dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
             dim_out = self.dim * self.dim_mults[i]
             is_last = i == n_levels - 1
-            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, name=f"down{i}_block0")(x, context)
-            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, name=f"down{i}_block1")(x, t_emb)
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"down{i}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"down{i}_block1")(x, t_emb)
             skips.append(x)
             if self.text_condition:
                 a = LinearAttentionCross(dtype=dt, name=f"down{i}_attncross")
                 x = x + a(ChannelLayerNorm(name=f"down{i}_attncross_norm")(x), context_cross)
-            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, name=f"down{i}_block2")(x, t_emb)
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"down{i}_block2")(x, t_emb)
             x = x + LinearAttention(dtype=dt, name=f"down{i}_attn")(
                 ChannelLayerNorm(name=f"down{i}_attn_norm")(x)
             )
@@ -444,13 +512,13 @@ class Unet1D(nn.Module):
 
         mid_dim = dims[-1]
         # --- middle (denoise_net.py:443-448) ---
-        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, dtype=dt, name="mid_block0")(x, context)
-        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, name="mid_block1")(x, t_emb)
+        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="mid_block0")(x, context)
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="mid_block1")(x, t_emb)
         if self.text_condition:
             a = LinearAttentionCross(dtype=dt, name="mid_attncross")
             x = x + a(ChannelLayerNorm(name="mid_attncross_norm")(x), context_cross)
         x = x + Attention(dtype=dt, name="mid_attn")(ChannelLayerNorm(name="mid_attn_norm")(x))
-        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, name="mid_block2")(x, t_emb)
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="mid_block2")(x, t_emb)
 
         # --- up path (denoise_net.py:450-470) ---
         for j in range(n_levels):
@@ -458,14 +526,14 @@ class Unet1D(nn.Module):
             dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
             dim_out = self.dim * self.dim_mults[i]
             is_last = j == n_levels - 1
-            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, name=f"up{j}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"up{j}_block0")(x, context)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, name=f"up{j}_block1")(x, t_emb)
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"up{j}_block1")(x, t_emb)
             if self.text_condition:
                 a = LinearAttentionCross(dtype=dt, name=f"up{j}_attncross")
                 x = x + a(ChannelLayerNorm(name=f"up{j}_attncross_norm")(x), context_cross)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, name=f"up{j}_block2")(x, t_emb)
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"up{j}_block2")(x, t_emb)
             x = x + LinearAttention(dtype=dt, name=f"up{j}_attn")(
                 ChannelLayerNorm(name=f"up{j}_attn_norm")(x)
             )
@@ -474,7 +542,7 @@ class Unet1D(nn.Module):
 
         # --- final (denoise_net.py:573-589) ---
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, dtype=dt, name="final_res_block")(x, t_emb)
+        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="final_res_block")(x, t_emb)
 
         if self.seperate_all:
             out_bbox = _MLPDec(self.dim, self.bbox_dim, dtype=dt, exact_gelu=self.exact_gelu, name="bbox_hidden2output")(x)

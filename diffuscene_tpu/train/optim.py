@@ -10,8 +10,9 @@ whole update stays inside jit.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict
+from typing import Any, Callable, Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -58,6 +59,94 @@ def lr_schedule_factory(training_cfg: Dict[str, Any]) -> Callable:
     return sched
 
 
+def f32_global_norm(tree) -> jnp.ndarray:
+    """Global L2 norm with explicit f32 accumulation (optax.global_norm
+    squares leaves in their own dtype — wrong for bf16 gradient trees)."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(l.astype(jnp.float32))) for l in leaves))
+
+
+class FusedClipAdamState(NamedTuple):
+    count: jnp.ndarray  # int32 step counter
+    mu: Any  # first moment (moment_dtype)
+    nu: Any  # second moment (moment_dtype)
+
+
+def fused_clip_adam(
+    learning_rate: Callable,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    max_grad_norm: float = 10.0,
+    moment_dtype: Optional[jnp.dtype] = None,
+) -> optax.GradientTransformation:
+    """Global-norm clip + Adam + LR scale as ONE per-leaf expression.
+
+    Numerically equivalent to
+    ``optax.chain(optax.clip_by_global_norm(max_grad_norm),
+    optax.adam(learning_rate))`` (the reference recipe,
+    networks/__init__.py:15-34 + train_diffusion.py:251) when
+    ``moment_dtype`` is None/f32, but:
+
+    - the clip scale is folded into the moment update (``g*s`` inline) so
+      gradients are read ONCE after the norm pass instead of being
+      rescaled through an extra params-sized write+read;
+    - ``moment_dtype=bfloat16`` stores mu/nu in bf16 (compute stays f32 —
+      read-modify-write halves the 2x-params-sized moment traffic).  With
+      b1=0.9 the mu increment is 0.1*g, far above bf16's 2^-8 rounding
+      step, and nu only feeds rsqrt (0.4% relative noise on the step
+      size); convergence validated on the full-dress rehearsal recipe.
+
+    Why: at 77.7M params the round-4 chain measured 3.07 ms/step — already
+    AT the f32 fused-pass HBM roofline (~2.5 GB/step); the only way down is
+    fewer bytes, not fewer kernels (docs/PERFORMANCE.md round-5 table).
+    """
+
+    def init(params):
+        md = moment_dtype
+
+        def zeros_like(p):
+            return jnp.zeros_like(p, dtype=md or p.dtype)
+
+        return FusedClipAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(zeros_like, params),
+            nu=jax.tree.map(zeros_like, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        gnorm = f32_global_norm(grads)
+        # optax.clip_by_global_norm semantics: scale only when above the cap
+        scale = jnp.where(gnorm < max_grad_norm, 1.0, max_grad_norm / gnorm)
+        count = optax.safe_int32_increment(state.count)
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1 ** c
+        bc2 = 1.0 - b2 ** c
+        lr = learning_rate(count - 1)
+        # -lr * mu_hat / (sqrt(nu_hat) + eps), bias corrections folded into
+        # a single multiplier and an eps rescale so the per-leaf expression
+        # stays one fused read-modify-write
+        step_mult = -lr * jnp.sqrt(bc2) / bc1
+        eps_eff = eps * jnp.sqrt(bc2)
+
+        def leaf(g, mu, nu):
+            gf = g.astype(jnp.float32) * scale
+            muf = b1 * mu.astype(jnp.float32) + (1.0 - b1) * gf
+            nuf = b2 * nu.astype(jnp.float32) + (1.0 - b2) * gf * gf
+            upd = step_mult * muf / (jnp.sqrt(nuf) + eps_eff)
+            return upd, muf.astype(mu.dtype), nuf.astype(nu.dtype)
+
+        out = jax.tree.map(leaf, grads, state.mu, state.nu)
+        is_triple = lambda t: isinstance(t, tuple) and len(t) == 3
+        updates = jax.tree.map(lambda t: t[0], out, is_leaf=is_triple)
+        mu = jax.tree.map(lambda t: t[1], out, is_leaf=is_triple)
+        nu = jax.tree.map(lambda t: t[2], out, is_leaf=is_triple)
+        return updates, FusedClipAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def optimizer_factory(
     training_cfg: Dict[str, Any], steps_per_epoch: int = 1
 ) -> optax.GradientTransformation:
@@ -66,6 +155,14 @@ def optimizer_factory(
     Mirrors optimizer_factory (networks/__init__.py:15-34).  Note the
     reference forces weight_decay to 0.0 (line 23) regardless of config; we
     honor the config value but default it to 0.0 for parity.
+
+    TPU-side extensions (no reference counterpart):
+
+    - ``training.fused_adam: true`` — use :func:`fused_clip_adam` (clip
+      scale folded into a single read-modify-write pass; numerically
+      equivalent to the chain it replaces).
+    - ``training.adam_moment_dtype: bfloat16`` — store Adam moments in
+      bf16 (implies the fused path; halves moment HBM traffic).
     """
     name = training_cfg.get("optimizer", "Adam")
     wd = training_cfg.get("weight_decay", 0.0)
@@ -77,6 +174,16 @@ def optimizer_factory(
     def step_sched(step):
         # step -> epoch; the reference applies the new LR at epoch boundaries
         return epoch_sched(step // spe)
+
+    moment_dtype = training_cfg.get("adam_moment_dtype", None)
+    if isinstance(moment_dtype, str):
+        moment_dtype = jnp.dtype(moment_dtype)
+    if (training_cfg.get("fused_adam") or moment_dtype is not None) and name == "Adam" and not wd:
+        return fused_clip_adam(
+            step_sched,
+            max_grad_norm=float(max_grad_norm),
+            moment_dtype=moment_dtype,
+        )
 
     if name == "SGD":
         opt = optax.sgd(learning_rate=step_sched, momentum=momentum)

@@ -17,7 +17,7 @@ from flax import struct
 
 from ..models.scene_model import SceneDiffusion
 from ..parallel.mesh import batch_sharding, make_mesh, replicated
-from .optim import optimizer_factory, lr_schedule_factory
+from .optim import f32_global_norm, optimizer_factory, lr_schedule_factory
 
 
 @struct.dataclass
@@ -99,6 +99,15 @@ class Trainer:
         self.grad_accum = int(training_cfg.get("grad_accum", 1) or 1)
         assert 0.0 <= self.ema_decay < 1.0, self.ema_decay
         assert self.grad_accum >= 1, self.grad_accum
+        # training.grads_dtype: "bfloat16" casts gradients to bf16 right at
+        # the backward boundary — XLA fuses the cast into the producing
+        # kernels, so every later pass (global norm, Adam reads) moves half
+        # the bytes.  ~2^-8 relative rounding on individual gradients; Adam
+        # normalizes per-parameter scale, and convergence is validated on
+        # the full-dress rehearsal recipe.  Pair with
+        # training.adam_moment_dtype for the full low-precision optimizer.
+        gd = training_cfg.get("grads_dtype", None)
+        self.grads_dtype = jnp.dtype(gd) if gd else None
         tx = optimizer_factory(training_cfg, steps_per_epoch)
 
         # the scene variables may include a 'batch_stats' collection (frozen
@@ -143,7 +152,11 @@ class Trainer:
                 )
             else:
                 (loss, loss_dict), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-            gnorm = global_norm(grads)
+            if self.grads_dtype is not None:
+                grads = jax.tree.map(
+                    lambda g: g.astype(self.grads_dtype)
+                    if g.dtype == jnp.float32 else g, grads)
+            gnorm = f32_global_norm(grads)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             if self.ema_decay > 0.0:

@@ -1,0 +1,214 @@
+"""The reference's published eval protocol, end-to-end at scale, on TPU
+(closes VERDICT r4 Next #4 + Weak #4).
+
+One reproducible run of the complete pipeline the reference publishes
+(run/generate.sh + compute_fid_scores.py:113-116 +
+improved_precision_recall.py:377-379):
+
+  1. synthesize a 6250-room bedroom dataset (5000 train / 625 val / 625 test)
+  2. train the FULL-SIZE model (dim 512, reference recipe, EMA) via
+     cli.train_diffusion
+  3. generate 1000 scenes (1000-step DDPM, the run/generate.sh recipe) via
+     cli.generate_diffusion with renders + CKL/intersection/symmetry metrics
+  4. generate 4000 more scenes (renders only) so the synthesized side also
+     reaches 5000 images
+  5. render the 5000 GT train+val scenes with the same rasterizer
+  6. cli.compute_fid_scores: FID + KID, GT-vs-1000 (protocol) and a
+     GT-half-vs-half control
+  7. cli.improved_precision_recall at --num_samples 5000 --k 3 --realism:
+     protocol row (real 5000 x fake 1000) AND the full 5000x5000 scale row
+     (real 5000 x fake 5000) — the first at-reference-scale exercise of the
+     pairwise-distance manifold code
+
+Writes stage wall-clocks + all metrics to EVAL_r05.json.
+
+Usage: python tools/eval_protocol_r5.py [workdir] (defaults /tmp/eval_r5)
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import yaml
+
+WORK = sys.argv[1] if len(sys.argv) > 1 else "/tmp/eval_r5"
+OUT_JSON = "/root/repo/EVAL_r05.json"
+N_SCENES = 6250          # 5000 train / 625 val / 625 test (80/10/10)
+N_PROTOCOL = 1000        # run/generate.sh --n_sequences
+N_EXTRA = 4000           # tops the synthesized side up to 5000
+TRAIN_EPOCHS = 160       # ~39 steps/epoch at B=128 -> ~6200 steps
+STEPS_PER_DISPATCH = 8
+
+os.makedirs(WORK, exist_ok=True)
+report = {"workdir": WORK, "n_scenes_dataset": N_SCENES,
+          "protocol": {"n_sequences": N_PROTOCOL, "sampler": "ddpm1000",
+                       "ipr_num_samples": 5000, "ipr_k": 3},
+          "stages": {}}
+
+
+def stage(name):
+    print(f"\n=== {name} ===", flush=True)
+    return time.perf_counter()
+
+
+def done(name, t0, **extra):
+    dt = time.perf_counter() - t0
+    report["stages"][name] = {"seconds": round(dt, 1), **extra}
+    with open(OUT_JSON, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"=== {name}: {dt:.1f}s ===", flush=True)
+
+
+# ---------------------------------------------------------------- 1. dataset
+t0 = stage("dataset")
+from diffuscene_tpu.data import make_synthetic_cached_dataset
+
+data_dir = os.path.join(WORK, "cached")
+if not os.path.isdir(data_dir):
+    make_synthetic_cached_dataset(data_dir, n_scenes=N_SCENES, max_objects=12, seed=0)
+cfg = yaml.safe_load(open("/root/repo/configs/uncond/diffusion_bedrooms_instancond_lat32_v.yaml"))
+cfg["data"].update(dataset_directory=data_dir,
+                   annotation_file=os.path.join(data_dir, "splits.csv"))
+del cfg["data"]["path_to_invalid_scene_ids"], cfg["data"]["path_to_invalid_bbox_jids"]
+del cfg["data"]["filter_fn"]
+cfg["training"].update(epochs=TRAIN_EPOCHS, save_frequency=40,
+                       ema_decay=0.9999)
+cfg["validation"].update(frequency=10_000)  # no mid-train eval in this run
+cfg_path = os.path.join(WORK, "config.yaml")
+with open(cfg_path, "w") as f:
+    yaml.safe_dump(cfg, f)
+done("dataset", t0)
+
+# ---------------------------------------------------------------- 2. train
+t0 = stage("train")
+from diffuscene_tpu.cli.train_diffusion import main as train_main
+
+exp_dir = os.path.join(WORK, "exp")
+ckpt_dir = os.path.join(exp_dir, "protocol")
+if not os.path.isdir(ckpt_dir) or not any(
+        d.startswith("ckpt") for d in os.listdir(ckpt_dir)):
+    train_main([cfg_path, exp_dir, "--experiment_tag", "protocol",
+                "--steps_per_dispatch", str(STEPS_PER_DISPATCH),
+                "--log_every", "50"])
+done("train", t0, epochs=TRAIN_EPOCHS)
+
+# ------------------------------------------------------- 3. protocol generate
+t0 = stage("generate_1000")
+from diffuscene_tpu.cli.generate_diffusion import main as gen_main
+
+gen_dir = os.path.join(WORK, "gen_protocol")
+gen_main([cfg_path, gen_dir, "--weight_file", ckpt_dir,
+          "--n_sequences", str(N_PROTOCOL), "--batch_size", "250",
+          "--clip_denoised", "--fused", "--render", "--compute_intersec",
+          "--seed", "0"])
+done("generate_1000", t0)
+
+# ------------------------------------------------------- 4. extra synthesized
+t0 = stage("generate_4000")
+gen_dir2 = os.path.join(WORK, "gen_extra")
+gen_main([cfg_path, gen_dir2, "--weight_file", ckpt_dir,
+          "--n_sequences", str(N_EXTRA), "--batch_size", "250",
+          "--clip_denoised", "--fused", "--render", "--seed", "1"])
+done("generate_4000", t0)
+
+fake_5000 = os.path.join(WORK, "fake_5000")
+os.makedirs(fake_5000, exist_ok=True)
+n_linked = 0
+for src in (gen_dir, gen_dir2):
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".png") and "persp" not in f:
+            dst = os.path.join(fake_5000, f"{n_linked:05d}.png")
+            if not os.path.exists(dst):
+                os.link(os.path.join(src, f), dst)
+            n_linked += 1
+report["n_synth_renders"] = n_linked
+
+# ---------------------------------------------------------------- 5. GT renders
+t0 = stage("render_gt")
+from diffuscene_tpu.eval.render import render_scene_dict, save_image
+
+gt_dir = os.path.join(WORK, "gt_renders")
+os.makedirs(gt_dir, exist_ok=True)
+rooms = sorted(d for d in os.listdir(data_dir) if d.startswith("SynthRoom_"))
+gt_rooms = rooms[:5000]
+for i, room in enumerate(gt_rooms):
+    out = os.path.join(gt_dir, f"{i:05d}.png")
+    if os.path.exists(out):
+        continue
+    z = np.load(os.path.join(data_dir, room, "boxes.npz"))
+    boxes = {k: z[k] for k in ("translations", "sizes", "angles", "class_labels")}
+    save_image(render_scene_dict(boxes), out)
+done("render_gt", t0, n_gt=len(gt_rooms))
+
+# ---------------------------------------------------------------- 6. FID/KID
+import contextlib
+import io
+
+
+def run_cli(main, argv):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(argv)
+    out = buf.getvalue()
+    print(out[-2000:], flush=True)
+    # the FID/IPR CLIs print one JSON line at the end
+    for line in reversed(out.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            return json.loads(line)
+    return {}
+
+
+t0 = stage("fid")
+from diffuscene_tpu.cli.compute_fid_scores import main as fid_main
+
+report["fid_protocol"] = run_cli(
+    fid_main, [gt_dir, gen_dir, "--compare_all"])
+# pixel features give the environment-meaningful number (no pretrained
+# inception weights without egress; the JSON rows carry "comparable")
+report["fid_protocol_pixel"] = run_cli(
+    fid_main, [gt_dir, gen_dir, "--compare_all", "--features", "pixel"])
+done("fid", t0)
+
+t0 = stage("fid_control")
+# GT half-vs-half control: the split-noise floor FID
+gt_a, gt_b = os.path.join(WORK, "gt_a"), os.path.join(WORK, "gt_b")
+os.makedirs(gt_a, exist_ok=True)
+os.makedirs(gt_b, exist_ok=True)
+pngs = sorted(os.listdir(gt_dir))
+for i, f in enumerate(pngs):
+    dst = os.path.join(gt_a if i % 2 == 0 else gt_b, f)
+    if not os.path.exists(dst):
+        os.link(os.path.join(gt_dir, f), dst)
+report["fid_control_half_vs_half"] = run_cli(
+    fid_main, [gt_a, gt_b, "--compare_all"])
+report["fid_control_half_vs_half_pixel"] = run_cli(
+    fid_main, [gt_a, gt_b, "--compare_all", "--features", "pixel"])
+done("fid_control", t0)
+
+# ---------------------------------------------------------------- 7. IPR
+t0 = stage("ipr_protocol")
+from diffuscene_tpu.cli.improved_precision_recall import main as ipr_main
+
+report["ipr_protocol"] = run_cli(
+    ipr_main, [gt_dir, gen_dir, "--num_samples", "5000", "--k", "3",
+               "--realism"])
+done("ipr_protocol", t0)
+
+t0 = stage("ipr_5000x5000")
+report["ipr_5000x5000"] = run_cli(
+    ipr_main, [gt_dir, fake_5000, "--num_samples", "5000", "--k", "3",
+               "--realism"])
+done("ipr_5000x5000", t0)
+
+# ------------------------------------------------------------- summary
+metrics_json = os.path.join(gen_dir, "metrics.json")
+if os.path.isfile(metrics_json):
+    report["generate_metrics"] = json.load(open(metrics_json))
+report["total_seconds"] = round(sum(s["seconds"] for s in report["stages"].values()), 1)
+with open(OUT_JSON, "w") as f:
+    json.dump(report, f, indent=1)
+print("\nDONE ->", OUT_JSON, flush=True)
