@@ -240,9 +240,12 @@ def _train_setup(variant: str, B: int = 128):
                            "adam_moment_dtype": "bfloat16",
                            "grads_dtype": "bfloat16"}),
         "bf16_wsvjp": ({"ws_fast_vjp": True}, {}),
-        # timing-attribution ONLY (not the reference architecture): skips
-        # weight standardization to bound its total fwd+bwd cost
+        # timing-attribution ONLY (not the reference architecture): skip
+        # weight standardization / attention blocks / resblock GroupNorms
+        # to bound each piece's total fwd+bwd(+optimizer-share) cost
         "bf16_nostd": ({"weight_standardize": False}, {}),
+        "bf16_noattn": ({"ablate_attention": True}, {}),
+        "bf16_nonorm": ({"ablate_norms": True}, {}),
         "bf16_turbo": ({"exact_gelu": False, "ws_fast_vjp": True},
                        {"fused_adam": True,
                         "adam_moment_dtype": "bfloat16",

@@ -170,12 +170,14 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     ws_fast_vjp: bool = False
     weight_standardize: bool = True
+    ablate_norm: bool = False
 
     @nn.compact
     def __call__(self, x, scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None):
         x = WSDense(self.dim_out, dtype=self.dtype, fast_vjp=self.ws_fast_vjp,
                     standardize=self.weight_standardize, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
+        if not self.ablate_norm:  # timing-attribution ablation only
+            x = nn.GroupNorm(num_groups=self.groups, dtype=self.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale + 1.0) + shift
@@ -195,6 +197,7 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     ws_fast_vjp: bool = False
     weight_standardize: bool = True
+    ablate_norm: bool = False
 
     @nn.compact
     def __call__(self, x, emb: Optional[jnp.ndarray] = None):
@@ -204,7 +207,9 @@ class ResnetBlock(nn.Module):
             if h.ndim == 2:
                 h = h[:, None, :]  # (B, 1, 2C) broadcast over objects
             scale_shift = (h[..., : self.dim_out], h[..., self.dim_out :])
-        ws = dict(ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize)
+        ws = dict(ws_fast_vjp=self.ws_fast_vjp,
+                  weight_standardize=self.weight_standardize,
+                  ablate_norm=self.ablate_norm)
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block1", **ws)(x, scale_shift)
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype, name="block2", **ws)(h)
         if x.shape[-1] != self.dim_out:
@@ -428,6 +433,12 @@ class Unet1D(nn.Module):
     # Timing-attribution ablation only: skip weight standardization entirely
     # (same param tree, different math — NOT the reference architecture).
     weight_standardize: bool = True
+    # Timing-attribution ablations only (tools/train_attrib_r5.py): drop the
+    # self/cross-attention blocks (and their pre-norms), or the GroupNorms
+    # inside resblocks.  These CHANGE the param tree — cost bounds include
+    # the ablated params' backward + optimizer share.
+    ablate_attention: bool = False
+    ablate_norms: bool = False
 
     @property
     def bbox_dim(self):
@@ -495,16 +506,17 @@ class Unet1D(nn.Module):
             dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
             dim_out = self.dim * self.dim_mults[i]
             is_last = i == n_levels - 1
-            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"down{i}_block0")(x, context)
-            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"down{i}_block1")(x, t_emb)
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name=f"down{i}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name=f"down{i}_block1")(x, t_emb)
             skips.append(x)
             if self.text_condition:
                 a = LinearAttentionCross(dtype=dt, name=f"down{i}_attncross")
                 x = x + a(ChannelLayerNorm(name=f"down{i}_attncross_norm")(x), context_cross)
-            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"down{i}_block2")(x, t_emb)
-            x = x + LinearAttention(dtype=dt, name=f"down{i}_attn")(
-                ChannelLayerNorm(name=f"down{i}_attn_norm")(x)
-            )
+            x = ResnetBlock(dim_in, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name=f"down{i}_block2")(x, t_emb)
+            if not self.ablate_attention:  # timing-attribution ablation only
+                x = x + LinearAttention(dtype=dt, name=f"down{i}_attn")(
+                    ChannelLayerNorm(name=f"down{i}_attn_norm")(x)
+                )
             skips.append(x)
             if is_last:
                 x = nn.Dense(dim_out, dtype=dt, name=f"down{i}_proj")(x)
@@ -512,13 +524,14 @@ class Unet1D(nn.Module):
 
         mid_dim = dims[-1]
         # --- middle (denoise_net.py:443-448) ---
-        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="mid_block0")(x, context)
-        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="mid_block1")(x, t_emb)
+        x = ResnetBlock(mid_dim, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name="mid_block0")(x, context)
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name="mid_block1")(x, t_emb)
         if self.text_condition:
             a = LinearAttentionCross(dtype=dt, name="mid_attncross")
             x = x + a(ChannelLayerNorm(name="mid_attncross_norm")(x), context_cross)
-        x = x + Attention(dtype=dt, name="mid_attn")(ChannelLayerNorm(name="mid_attn_norm")(x))
-        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="mid_block2")(x, t_emb)
+        if not self.ablate_attention:  # timing-attribution ablation only
+            x = x + Attention(dtype=dt, name="mid_attn")(ChannelLayerNorm(name="mid_attn_norm")(x))
+        x = ResnetBlock(mid_dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name="mid_block2")(x, t_emb)
 
         # --- up path (denoise_net.py:450-470) ---
         for j in range(n_levels):
@@ -526,23 +539,24 @@ class Unet1D(nn.Module):
             dim_in = self.dim * (1 if i == 0 else self.dim_mults[i - 1])
             dim_out = self.dim * self.dim_mults[i]
             is_last = j == n_levels - 1
-            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"up{j}_block0")(x, context)
+            x = ResnetBlock(dim_in, emb_dim=cond_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name=f"up{j}_block0")(x, context)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"up{j}_block1")(x, t_emb)
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name=f"up{j}_block1")(x, t_emb)
             if self.text_condition:
                 a = LinearAttentionCross(dtype=dt, name=f"up{j}_attncross")
                 x = x + a(ChannelLayerNorm(name=f"up{j}_attncross_norm")(x), context_cross)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name=f"up{j}_block2")(x, t_emb)
-            x = x + LinearAttention(dtype=dt, name=f"up{j}_attn")(
-                ChannelLayerNorm(name=f"up{j}_attn_norm")(x)
-            )
+            x = ResnetBlock(dim_out, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name=f"up{j}_block2")(x, t_emb)
+            if not self.ablate_attention:  # timing-attribution ablation only
+                x = x + LinearAttention(dtype=dt, name=f"up{j}_attn")(
+                    ChannelLayerNorm(name=f"up{j}_attn_norm")(x)
+                )
             if is_last:
                 x = nn.Dense(dim_in, dtype=dt, name=f"up{j}_proj")(x)
 
         # --- final (denoise_net.py:573-589) ---
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, name="final_res_block")(x, t_emb)
+        x = ResnetBlock(self.dim, emb_dim=time_dim, groups=groups, dtype=dt, ws_fast_vjp=self.ws_fast_vjp, weight_standardize=self.weight_standardize, ablate_norm=self.ablate_norms, name="final_res_block")(x, t_emb)
 
         if self.seperate_all:
             out_bbox = _MLPDec(self.dim, self.bbox_dim, dtype=dt, exact_gelu=self.exact_gelu, name="bbox_hidden2output")(x)

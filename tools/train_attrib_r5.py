@@ -87,29 +87,30 @@ def loss_or_grad(variant, mode):
     params = state.params
     scene = trainer.scene
 
-    def body_loss(carry, batch):
-        k2 = jax.random.fold_in(key, carry)
-        loss, _ = scene.get_loss(params, batch, k2)
-        return carry + 1, loss
-
-    def body_grad(carry, batch):
-        k2 = jax.random.fold_in(key, carry)
-
-        def lf(p):
-            return scene.get_loss(p, batch, k2)
-
-        (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(params)
-        return carry + 1, f32_global_norm(grads) + loss
-
-    body = body_loss if mode == "loss" else body_grad
-
+    # params must be an ARGUMENT: closed-over they end up as HLO literals
+    # and blow the remote-compile request size limit (HTTP 413)
     @jax.jit
-    def prog(stacked):
+    def prog(p_arg, stacked):
+        def body_loss(carry, batch):
+            k2 = jax.random.fold_in(key, carry)
+            loss, _ = scene.get_loss(p_arg, batch, k2)
+            return carry + 1, loss
+
+        def body_grad(carry, batch):
+            k2 = jax.random.fold_in(key, carry)
+
+            def lf(p):
+                return scene.get_loss(p, batch, k2)
+
+            (loss, _), grads = jax.value_and_grad(lf, has_aux=True)(p_arg)
+            return carry + 1, f32_global_norm(grads) + loss
+
+        body = body_loss if mode == "loss" else body_grad
         _, outs = jax.lax.scan(body, jnp.zeros((), jnp.int32), stacked)
         return outs.mean()
 
     def run():
-        return prog(stacked)
+        return prog(params, stacked)
 
     return _time_windows(run, f"{mode}:{variant}")
 
@@ -128,24 +129,39 @@ def opt_only(label, tcfg_extra, grads_dtype=None):
     tx = optimizer_factory(tcfg, 500)
     params = state.params
     gd = grads_dtype or jnp.float32
-    grads = jax.tree.map(
+    base_grads = jax.tree.map(
         lambda p: (0.01 * jnp.ones_like(p)).astype(gd), params)
     opt_state = tx.init(params)
 
-    @jax.jit
+    # grads must VARY per iteration (g + eps(i), an in-register add) or XLA
+    # hoists the whole norm/update algebra out of the loop — the first run
+    # of this script measured a physically impossible 0.12 ms/step with
+    # constant grads.  The final output must depend on the final state.
     def prog(params, opt_state, grads):
-        def body(carry, _):
+        def body(carry, i):
             p, s = carry
-            gnorm = f32_global_norm(grads)
-            updates, s = tx.update(grads, s, p)
+            g = jax.tree.map(
+                lambda x: x + (1e-9 * i.astype(jnp.float32)).astype(x.dtype),
+                grads)
+            gnorm = f32_global_norm(g)
+            updates, s = tx.update(g, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s), gnorm
 
-        (p, s), gn = jax.lax.scan(body, (params, opt_state), None, length=K)
-        return p, s, gn.mean()
+        (p, s), gn = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(K, dtype=jnp.int32))
+        return f32_global_norm(p) + gn.mean()
+
+    jprog = jax.jit(prog, donate_argnums=(0, 1))
+    holder = {}
 
     def run():
-        return prog(params, opt_state, grads)[2]
+        if "p" not in holder:
+            holder["p"] = jax.tree.map(jnp.copy, params)
+            holder["s"] = tx.init(holder["p"])
+        out = jprog(holder["p"], holder["s"], base_grads)
+        del holder["p"], holder["s"]  # donated; rebuild next call
+        return out
 
     return _time_windows(run, f"opt:{label}")
 
