@@ -89,7 +89,7 @@ from diffuscene_tpu.cli.train_diffusion import main as train_main
 exp_dir = os.path.join(WORK, "exp")
 ckpt_dir = os.path.join(exp_dir, "protocol")
 if not os.path.isdir(ckpt_dir) or not any(
-        d.startswith("ckpt") for d in os.listdir(ckpt_dir)):
+        d.startswith("model_") for d in os.listdir(ckpt_dir)):
     train_main([cfg_path, exp_dir, "--experiment_tag", "protocol",
                 "--steps_per_dispatch", str(STEPS_PER_DISPATCH),
                 "--log_every", "50"])
@@ -100,21 +100,31 @@ t0 = stage("generate_1000")
 from diffuscene_tpu.cli.generate_diffusion import main as gen_main
 
 gen_dir = os.path.join(WORK, "gen_protocol")
-gen_main([cfg_path, gen_dir, "--weight_file", ckpt_dir,
-          "--n_sequences", str(N_PROTOCOL), "--batch_size", "250",
-          "--clip_denoised", "--fused", "--render", "--compute_intersec",
-          "--seed", "0"])
+# --no_ema: at 0.9999 decay the EMA's horizon is ~10k steps, so after this
+# rehearsal's ~6.2k steps the EMA still carries ~54% of the random init
+# (0.9999^6240) — sample the raw weights instead (first artifact of this
+# run measured CKL 0.234 from the unconverged EMA)
+if not os.path.isfile(os.path.join(gen_dir, "metrics.json")):
+    gen_main([cfg_path, gen_dir, "--weight_file", ckpt_dir, "--no_ema",
+              "--n_sequences", str(N_PROTOCOL), "--batch_size", "250",
+              "--clip_denoised", "--fused", "--render", "--compute_intersec",
+              "--seed", "0"])
 done("generate_1000", t0)
 
 # ------------------------------------------------------- 4. extra synthesized
 t0 = stage("generate_4000")
 gen_dir2 = os.path.join(WORK, "gen_extra")
-gen_main([cfg_path, gen_dir2, "--weight_file", ckpt_dir,
-          "--n_sequences", str(N_EXTRA), "--batch_size", "250",
-          "--clip_denoised", "--fused", "--render", "--seed", "1"])
+if not os.path.isfile(os.path.join(gen_dir2, "metrics.json")):
+    gen_main([cfg_path, gen_dir2, "--weight_file", ckpt_dir, "--no_ema",
+              "--n_sequences", str(N_EXTRA), "--batch_size", "250",
+              "--clip_denoised", "--fused", "--render", "--seed", "1"])
 done("generate_4000", t0)
 
 fake_5000 = os.path.join(WORK, "fake_5000")
+if os.path.isdir(fake_5000):  # stale hard links if generation re-ran
+    import shutil
+
+    shutil.rmtree(fake_5000)
 os.makedirs(fake_5000, exist_ok=True)
 n_linked = 0
 for src in (gen_dir, gen_dir2):
@@ -165,10 +175,14 @@ def run_cli(main, argv):
 t0 = stage("fid")
 from diffuscene_tpu.cli.compute_fid_scores import main as fid_main
 
-report["fid_protocol"] = run_cli(
-    fid_main, [gt_dir, gen_dir, "--compare_all"])
-# pixel features give the environment-meaningful number (no pretrained
-# inception weights without egress; the JSON rows carry "comparable")
+# the canonical inception/vgg backbones need locally shipped weights (no
+# network egress in this environment) and error LOUDLY without them — try
+# them first so the artifact records the refusal, then run the explicit
+# pixel-feature opt-in (flagged comparable=false in each row's JSON)
+try:
+    report["fid_protocol"] = run_cli(fid_main, [gt_dir, gen_dir, "--compare_all"])
+except FileNotFoundError as e:
+    report["fid_protocol"] = {"blocked": str(e)}
 report["fid_protocol_pixel"] = run_cli(
     fid_main, [gt_dir, gen_dir, "--compare_all", "--features", "pixel"])
 done("fid", t0)
@@ -183,8 +197,6 @@ for i, f in enumerate(pngs):
     dst = os.path.join(gt_a if i % 2 == 0 else gt_b, f)
     if not os.path.exists(dst):
         os.link(os.path.join(gt_dir, f), dst)
-report["fid_control_half_vs_half"] = run_cli(
-    fid_main, [gt_a, gt_b, "--compare_all"])
 report["fid_control_half_vs_half_pixel"] = run_cli(
     fid_main, [gt_a, gt_b, "--compare_all", "--features", "pixel"])
 done("fid_control", t0)
@@ -193,15 +205,21 @@ done("fid_control", t0)
 t0 = stage("ipr_protocol")
 from diffuscene_tpu.cli.improved_precision_recall import main as ipr_main
 
-report["ipr_protocol"] = run_cli(
-    ipr_main, [gt_dir, gen_dir, "--num_samples", "5000", "--k", "3",
-               "--realism"])
+try:
+    report["ipr_protocol"] = run_cli(
+        ipr_main, [gt_dir, gen_dir, "--num_samples", "5000", "--k", "3",
+                   "--realism"])
+except FileNotFoundError as e:
+    report["ipr_protocol"] = {"blocked": str(e)}
+    report["ipr_protocol_pixel"] = run_cli(
+        ipr_main, [gt_dir, gen_dir, "--num_samples", "5000", "--k", "3",
+                   "--realism", "--features", "pixel"])
 done("ipr_protocol", t0)
 
 t0 = stage("ipr_5000x5000")
-report["ipr_5000x5000"] = run_cli(
+report["ipr_5000x5000_pixel"] = run_cli(
     ipr_main, [gt_dir, fake_5000, "--num_samples", "5000", "--k", "3",
-               "--realism"])
+               "--realism", "--features", "pixel"])
 done("ipr_5000x5000", t0)
 
 # ------------------------------------------------------------- summary
