@@ -189,6 +189,31 @@ def test_trainer_lowp_moment_dtypes():
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
 
 
+def test_b512_config_wires_fast_train_keys():
+    """The shipped b512 TPU config's training keys reach the fused
+    low-precision optimizer and the net flags reach Unet1D."""
+    import os
+
+    import yaml
+
+    from diffuscene_tpu.models import SceneModelConfig
+    from diffuscene_tpu.models.scene_model import build_unet1d
+    from diffuscene_tpu.train.optim import FusedClipAdamState, optimizer_factory
+
+    path = os.path.join(os.path.dirname(__file__), "..", "configs", "uncond",
+                        "diffusion_bedrooms_instancond_lat32_v_b512_tpu.yaml")
+    cfg = yaml.safe_load(open(path))
+    tcfg = cfg["training"]
+    assert tcfg["batch_size"] == 512 and tcfg["fused_adam"]
+    tx = optimizer_factory(tcfg, steps_per_epoch=500)
+    state = tx.init({"w": jnp.zeros((4, 4))})
+    assert isinstance(state, FusedClipAdamState)
+    assert jax.tree.leaves(state.mu)[0].dtype == jnp.bfloat16
+    net = build_unet1d(SceneModelConfig.from_config(cfg["network"]))
+    assert net.ws_fast_vjp and not net.exact_gelu
+    assert net.compute_dtype == jnp.bfloat16
+
+
 def test_trainer_lowp_scan_matches_single_steps():
     """train_step_scan with the low-precision recipe stays consistent with
     the single-step path (same key folding, same state threading)."""
