@@ -108,6 +108,14 @@ class Trainer:
         # training.adam_moment_dtype for the full low-precision optimizer.
         gd = training_cfg.get("grads_dtype", None)
         self.grads_dtype = jnp.dtype(gd) if gd else None
+        # training.ema_dtype: "bfloat16" stores the EMA weights in bf16.
+        # The EMA update is 3 extra params-sized passes per step (read e,
+        # read p, write e); bf16 storage halves the e traffic.  Quality is
+        # free for bf16 inference: samplers cast weights to the compute
+        # dtype anyway, so a bf16-stored EMA equals the f32 EMA after the
+        # cast up to one rounding.  The update still accumulates in f32.
+        ed = training_cfg.get("ema_dtype", None)
+        self.ema_dtype = jnp.dtype(ed) if ed else None
         tx = optimizer_factory(training_cfg, steps_per_epoch)
 
         # the scene variables may include a 'batch_stats' collection (frozen
@@ -161,6 +169,13 @@ class Trainer:
             params = optax.apply_updates(state.params, updates)
             if self.ema_decay > 0.0:
                 d = self.ema_decay
+
+                def ema_leaf(e, p):
+                    # accumulate in f32 even when the EMA is stored bf16
+                    ef = e.astype(jnp.float32)
+                    new = d * ef + (1.0 - d) * p.astype(jnp.float32)
+                    return new.astype(e.dtype)
+
                 if self.grad_accum > 1:
                     # only average at MultiSteps boundaries (mini_step wraps
                     # to 0 right after the inner optimizer actually ran);
@@ -168,13 +183,11 @@ class Trainer:
                     # every micro-step would compound to d^k per real update
                     applied = opt_state.mini_step == 0
                     ema_params = jax.tree.map(
-                        lambda e, p: jnp.where(applied, d * e + (1.0 - d) * p, e),
+                        lambda e, p: jnp.where(applied, ema_leaf(e, p), e),
                         state.ema_params, params,
                     )
                 else:
-                    ema_params = jax.tree.map(
-                        lambda e, p: d * e + (1.0 - d) * p, state.ema_params, params
-                    )
+                    ema_params = jax.tree.map(ema_leaf, state.ema_params, params)
             else:
                 ema_params = state.ema_params
             metrics = dict(loss_dict)
@@ -226,7 +239,13 @@ class Trainer:
             opt_state = self.tx.init(params)
         # EMA starts as a COPY of params: aliasing the same buffers would
         # make the donated train step try to donate each buffer twice.
-        ema = jax.tree.map(jnp.copy, params) if self.ema_decay > 0.0 else None
+        # (A cast to ema_dtype is already a copy.)
+        if self.ema_decay > 0.0:
+            ed = self.ema_dtype
+            ema = jax.tree.map(
+                lambda p: p.astype(ed) if ed is not None else jnp.copy(p), params)
+        else:
+            ema = None
         return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                           opt_state=opt_state, ema_params=ema)
 

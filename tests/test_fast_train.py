@@ -189,6 +189,39 @@ def test_trainer_lowp_moment_dtypes():
     assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(state.params))
 
 
+def test_ema_bf16_storage_tracks_f32_ema():
+    """training.ema_dtype=bfloat16: EMA stored bf16 (half the EMA-pass HBM
+    traffic), update accumulated in f32 — must track the f32 EMA within
+    bf16 rounding, and samplers get it via ema_or_params as usual."""
+    from diffuscene_tpu.train.trainer import ema_or_params
+
+    key = jax.random.PRNGKey(1)
+    base = {"optimizer": "Adam", "lr": 2e-3, "max_grad_norm": 10.0,
+            "ema_decay": 0.9}
+    states = {}
+    for name, extra in (("f32", {}), ("bf16", {"ema_dtype": "bfloat16"})):
+        scene = SceneDiffusion(_tiny_cfg())
+        trainer = Trainer(scene, dict(base, **extra))
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        batch = _batch(trainer)
+        for _ in range(3):
+            state, _ = trainer.train_step(state, batch, key)
+        states[name] = state
+
+    assert all(l.dtype == jnp.bfloat16
+               for l in jax.tree.leaves(states["bf16"].ema_params))
+    assert all(l.dtype == jnp.float32
+               for l in jax.tree.leaves(states["f32"].ema_params))
+    for a, b in zip(jax.tree.leaves(ema_or_params(states["f32"])),
+                    jax.tree.leaves(ema_or_params(states["bf16"]))):
+        af = np.asarray(a, np.float32)
+        bf = np.asarray(b, np.float32)
+        # each bf16 store rounds by up to ~|e|*2^-9; the init cast + 3
+        # update stores accumulate to a few ulps -> 2^-6 relative bound
+        tol = np.maximum(np.abs(af) * 2 ** -6, 1e-6)
+        assert (np.abs(af - bf) <= tol + 1e-5).all()
+
+
 def test_b512_config_wires_fast_train_keys():
     """The shipped b512 TPU config's training keys reach the fused
     low-precision optimizer and the net flags reach Unet1D."""
