@@ -298,8 +298,12 @@ def train_metric(variant: str = "f32", spd: int = 1):
     """Optional secondary benchmark: train steps/sec at the reference recipe
     (batch 128, IoU loss).  Run with `python bench.py train` (f32),
     `python bench.py train bf16` (bf16 activations; measured v5e B=128:
-    8.72 ms/step vs 9.45 f32), or `python bench.py train bf16_fast`
-    (bf16 + tanh-approx GELU, the fast-training option).  The Trainer's mixed_precision pre-cast is
+    8.38 ms/step vs 9.35 f32), `python bench.py train bf16_fast`
+    (bf16 + tanh-approx GELU), or `python bench.py train bf16_turbo`
+    (the round-5 fast-train recipe: tanh GELU + WSDense fast VJP + fused
+    low-precision Adam; 6.51 ms/step = 26.7% MFU via `mfu train`).
+    See _train_setup's VARIANTS for the attribution-only variants.
+    The Trainer's mixed_precision pre-cast is
     NOT used — measured slower (10.49 ms/step) than the in-forward casts,
     which fuse into the matmul prologs (see train/trainer.py docstring).
 
